@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Headline benchmark (BASELINE.md): particle-updates/s at 1M particles on
+SimplePrecessionModel with the Liu–West resampler, vs the reference-CPU
+implementation (float64 NumPy, reference semantics — the reference repo
+publishes no numbers, so the CPU baseline is measured here, per BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+N_PARTICLES = 1_000_000
+N_EXP = 50
+TRUE_OMEGA = 0.70710678
+
+
+def _experiment_record(n_exp):
+    """Deterministic exp-sparse schedule + simulated outcomes (host side)."""
+    rng = np.random.default_rng(0)
+    ts = np.minimum((9 / 8) ** np.arange(n_exp), 1e4).astype(np.float32)
+    p0 = np.cos(0.5 * TRUE_OMEGA * ts) ** 2
+    outcomes = (rng.random(n_exp) >= p0).astype(np.int32)
+    return ts, outcomes
+
+
+def measure_tpu(n_particles=N_PARTICLES, n_exp=N_EXP, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    import qinfer_tpu as qi
+    from qinfer_tpu.smc import SMCConfig, init_smc_state, smc_batch_update
+
+    model = qi.SimplePrecessionModel()
+    prior = qi.UniformDistribution([0.0, 1.0])
+    resampler = qi.LiuWestResampler()
+    config = SMCConfig(zero_weight_policy="reset")
+    # Distinct initial state per repeat + a host transfer inside the timed
+    # region: the TPU relay caches repeated identical executions and can
+    # ack block_until_ready early, so neither identical inputs nor
+    # block_until_ready alone give honest timings (see
+    # .claude/skills/verify/SKILL.md).
+    states = [
+        init_smc_state(jax.random.PRNGKey(i), model, n_particles, prior)
+        for i in range(repeats + 1)
+    ]
+
+    ts, outcomes = _experiment_record(n_exp)
+    eps = {"t": jnp.asarray(ts)}
+    outcomes = jnp.asarray(outcomes)
+
+    run = jax.jit(smc_batch_update)
+    # Warmup (compile).
+    st, _ = run(model, resampler, config, states[0], outcomes, eps)
+    float(jnp.sum(st.particle_log_weights))
+
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        st, log_norms = run(
+            model, resampler, config, states[i + 1], outcomes, eps
+        )
+        float(jnp.sum(st.particle_log_weights))
+        best = min(best, time.perf_counter() - t0)
+
+    # Sanity: posterior must land on the true frequency.
+    w = np.asarray(jnp.exp(st.particle_log_weights))
+    est = float(w @ np.asarray(st.particle_locations[:, 0]))
+    assert abs(est - TRUE_OMEGA) < 0.05, f"bench accuracy failure: {est}"
+
+    return n_particles * n_exp / best
+
+
+def measure_cpu_reference(n_particles=N_PARTICLES, n_exp=None):
+    """Reference-semantics float64 NumPy SMC (multiplicative update, ESS
+    threshold 0.5·N, Liu–West multinomial resampler) — the measured-at-
+    build-time CPU baseline (BASELINE.md row 2)."""
+    if n_exp is None:
+        n_exp = min(N_EXP, 12)  # CPU is slow; extrapolate per-update cost
+    rng = np.random.default_rng(1)
+    ts, outcomes = _experiment_record(n_exp)
+
+    locs = rng.random((n_particles, 1))
+    w = np.full(n_particles, 1.0 / n_particles)
+    a = 0.98
+    h = np.sqrt(1 - a * a)
+
+    def resample():
+        nonlocal locs, w
+        mu = w @ locs
+        centered = locs - mu
+        cov = (w[:, None] * centered).T @ centered
+        vals, vecs = np.linalg.eigh(h * h * cov)
+        S = (vecs * np.sqrt(np.clip(vals, 0, None))) @ vecs.T
+        idx = rng.choice(n_particles, size=n_particles, p=w)
+        locs = a * locs[idx] + (1 - a) * mu + rng.standard_normal(locs.shape) @ S.T
+        np.clip(locs, 0.0, None, out=locs)
+        w = np.full(n_particles, 1.0 / n_particles)
+
+    t0 = time.perf_counter()
+    for t, o in zip(ts, outcomes):
+        p0 = np.cos(0.5 * locs[:, 0] * t) ** 2
+        L = p0 if o == 0 else 1.0 - p0
+        w = w * L
+        norm = w.sum()
+        w = w / norm if norm > 0 else np.full(n_particles, 1.0 / n_particles)
+        if 1.0 / np.sum(w * w) < 0.5 * n_particles:
+            resample()
+    dt = time.perf_counter() - t0
+    return n_particles * n_exp / dt
+
+
+def main():
+    tpu_pps = measure_tpu()
+    cpu_pps = measure_cpu_reference()
+    print(
+        json.dumps(
+            {
+                "metric": "particle_updates_per_s@1M_SimplePrecession_LiuWest",
+                "value": tpu_pps,
+                "unit": "particle-updates/s",
+                "vs_baseline": tpu_pps / cpu_pps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""qinfer_tpu — a TPU-native sequential-Monte-Carlo Bayesian inference engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+QInfer/python-qinfer (Bayesian parameter estimation for quantum information:
+Hamiltonian learning, randomized benchmarking, tomography), redesigned
+TPU-first: log-space particle filtering under jit, scan-driven episodes,
+GSPMD sharding of the particle bank over device meshes, and fused Pallas
+kernels for the likelihood hot loop.
+"""
+
+from .version import __version__
+
+from ._exceptions import ApproximationWarning, ResamplerError, ResamplerWarning
+from .domains import Domain, IntegerDomain, MultinomialDomain, RealDomain
+from .distributions import (
+    BetaBinomialDistribution,
+    BetaDistribution,
+    ConstantDistribution,
+    ConstrainedSumDistribution,
+    DiscreteUniformDistribution,
+    Distribution,
+    GammaDistribution,
+    InterpolatedUnivariateDistribution,
+    LogNormalDistribution,
+    MixtureDistribution,
+    MultivariateNormalDistribution,
+    MVUniformDistribution,
+    NormalDistribution,
+    ParticleDistribution,
+    PostselectedDistribution,
+    ProductDistribution,
+    SingleSampleMixin,
+    SlantedNormalDistribution,
+    UniformDistribution,
+)
+from .models import (
+    CoinModel,
+    DifferentiableModel,
+    FiniteOutcomeModel,
+    KnownT2PrecessionModel,
+    Model,
+    MultiCosModel,
+    NDieModel,
+    NoisyCoinModel,
+    SimpleInversionModel,
+    SimplePrecessionModel,
+    Simulatable,
+)
+from .resamplers import LiuWestResampler, Resampler
+from .smc import SMCConfig, SMCState, SMCUpdater, init_smc_state, smc_update_step
+from .heuristics import PGH, ExpSparseHeuristic, Heuristic
+from .perf_testing import perf_test, perf_test_multiple, run_episodes, timing
+from . import utils
+
+__all__ = [
+    "__version__",
+    # domains
+    "Domain", "RealDomain", "IntegerDomain", "MultinomialDomain",
+    # distributions
+    "Distribution", "SingleSampleMixin", "UniformDistribution",
+    "MVUniformDistribution", "DiscreteUniformDistribution",
+    "ConstantDistribution", "NormalDistribution",
+    "MultivariateNormalDistribution", "SlantedNormalDistribution",
+    "LogNormalDistribution", "BetaDistribution", "BetaBinomialDistribution",
+    "GammaDistribution", "ProductDistribution", "MixtureDistribution",
+    "PostselectedDistribution", "ConstrainedSumDistribution",
+    "InterpolatedUnivariateDistribution", "ParticleDistribution",
+    # models
+    "Simulatable", "Model", "FiniteOutcomeModel", "DifferentiableModel",
+    "SimplePrecessionModel", "SimpleInversionModel", "CoinModel",
+    "NoisyCoinModel", "NDieModel", "MultiCosModel", "KnownT2PrecessionModel",
+    # engine
+    "SMCUpdater", "SMCState", "SMCConfig", "init_smc_state",
+    "smc_update_step", "LiuWestResampler", "Resampler",
+    # design
+    "Heuristic", "PGH", "ExpSparseHeuristic",
+    # harness
+    "perf_test", "perf_test_multiple", "run_episodes", "timing",
+    # misc
+    "utils",
+    "ApproximationWarning", "ResamplerWarning", "ResamplerError",
+]

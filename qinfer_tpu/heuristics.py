@@ -1,0 +1,145 @@
+"""Experiment-design heuristics (TPU-native analogue of qinfer's heuristics.py).
+
+Reference parity: ``src/qinfer/heuristics.py`` — ``Heuristic`` (ABC),
+``ExpSparseHeuristic`` (t_k = a·bᵏ), ``PGH`` (particle-guess heuristic).
+
+Design (not a port): each heuristic has a *pure* core
+``propose(key, state, step_idx) -> expparams`` usable inside the jitted
+episode scan (``perf_testing.run_episodes``), plus the reference-style
+stateful ``__call__`` wrapper that holds an updater.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .smc import SMCState
+
+__all__ = ["Heuristic", "ExpSparseHeuristic", "PGH"]
+
+_identity = lambda x: x
+
+
+class Heuristic:
+    """ABC holding an updater. Reference: ``heuristics.py — Heuristic``."""
+
+    def __init__(self, updater):
+        self._updater = updater
+        self._step = 0
+
+    def propose(self, key, state: SMCState, step_idx):
+        raise NotImplementedError
+
+    def __call__(self):
+        key, next_key = jax.random.split(self._updater.state.key)
+        self._updater.state = self._updater.state._replace(key=next_key)
+        ep = self.propose(key, self._updater.state, jnp.asarray(self._step))
+        self._step += 1
+        return ep
+
+
+@jax.tree_util.register_static
+@dataclass(frozen=True, eq=False)
+class _ExpSparseCore:
+    """t_k = scale · base^k. Reference: ``heuristics.py — ExpSparseHeuristic``."""
+
+    scale: float = 1.0
+    base: float = 9.0 / 8.0
+    t_field: str = "t"
+    other_fields: Optional[Tuple[Tuple[str, float], ...]] = None
+
+    def propose(self, key, state: SMCState, step_idx):
+        t = self.scale * self.base ** step_idx.astype(jnp.float32)
+        ep = {self.t_field: jnp.asarray(t, jnp.float32)[None]}
+        if self.other_fields:
+            for name, val in self.other_fields:
+                ep[name] = jnp.asarray(val, jnp.float32)[None]
+        return ep
+
+
+@jax.tree_util.register_static
+@dataclass(frozen=True, eq=False)
+class _PGHCore:
+    """Particle-guess heuristic core.
+
+    Reference: ``heuristics.py — PGH.__call__``: draw two particles x₁, x₂
+    from the posterior; t = t_func(1/‖x₁−x₂‖); the inversion field (if any)
+    gets inv_func(x₁). The reference's redraw-on-collision loop becomes an
+    epsilon floor on the distance (collision has probability → 0 and the
+    floor only bounds t, preserving the heuristic's scaling).
+    """
+
+    inv_field: Optional[str] = None
+    t_field: str = "t"
+    inv_func: Callable = _identity
+    t_func: Callable = _identity
+    other_fields: Optional[Tuple[Tuple[str, float], ...]] = None
+    eps_dist: float = 1e-12
+
+    def propose(self, key, state: SMCState, step_idx):
+        idx = jax.random.categorical(
+            key, state.particle_log_weights, shape=(2,)
+        )
+        x1 = state.particle_locations[idx[0]]
+        x2 = state.particle_locations[idx[1]]
+        dist = jnp.linalg.norm(x1 - x2)
+        t = self.t_func(1.0 / jnp.maximum(dist, self.eps_dist))
+        ep = {self.t_field: jnp.asarray(t, jnp.float32)[None]}
+        if self.inv_field is not None:
+            ep[self.inv_field] = self.inv_func(x1)[None]
+        if self.other_fields:
+            for name, val in self.other_fields:
+                ep[name] = jnp.asarray(val, jnp.float32)[None]
+        return ep
+
+
+class ExpSparseHeuristic(Heuristic):
+    """Exponentially sparse time sampling: t_k = scale · base^k.
+
+    Reference: ``heuristics.py — ExpSparseHeuristic``.
+    """
+
+    def __init__(self, updater=None, scale=1.0, base=9.0 / 8.0, t_field="t",
+                 other_fields=None):
+        super().__init__(updater)
+        self.core = _ExpSparseCore(
+            scale=float(scale),
+            base=float(base),
+            t_field=t_field,
+            other_fields=_freeze_fields(other_fields),
+        )
+
+    def propose(self, key, state, step_idx):
+        return self.core.propose(key, state, step_idx)
+
+
+class PGH(Heuristic):
+    """Particle-guess heuristic. Reference: ``heuristics.py — PGH``."""
+
+    def __init__(self, updater=None, inv_field=None, t_field="t",
+                 inv_func=_identity, t_func=_identity, maxiters=10,
+                 other_fields=None):
+        super().__init__(updater)
+        del maxiters  # collision loop replaced by epsilon floor (see core)
+        self.core = _PGHCore(
+            inv_field=inv_field,
+            t_field=t_field,
+            inv_func=inv_func,
+            t_func=t_func,
+            other_fields=_freeze_fields(other_fields),
+        )
+
+    def propose(self, key, state, step_idx):
+        return self.core.propose(key, state, step_idx)
+
+
+def _freeze_fields(other_fields):
+    if other_fields is None:
+        return None
+    if isinstance(other_fields, dict):
+        return tuple(sorted(other_fields.items()))
+    return tuple(other_fields)

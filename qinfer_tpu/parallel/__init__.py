@@ -1,0 +1,29 @@
+"""Multi-device / multi-host particle-bank sharding.
+
+TPU-native replacement for the reference's ipyparallel cluster fan-out
+(``src/qinfer/parallel.py — DirectViewParallelizedModel``): instead of
+scattering modelparams row-blocks over TCP to cluster engines, the particle
+bank is sharded over a ``jax.sharding.Mesh`` axis and XLA inserts the
+collectives (psum for moments/normalization, all-gathers for resampling)
+over ICI/DCN.
+"""
+
+from .mesh import (
+    PARTICLE_AXIS,
+    TRIAL_AXIS,
+    host_local_mesh,
+    make_particle_mesh,
+    replicate,
+    shard_episode_keys,
+    shard_state,
+)
+
+__all__ = [
+    "PARTICLE_AXIS",
+    "TRIAL_AXIS",
+    "make_particle_mesh",
+    "host_local_mesh",
+    "shard_state",
+    "shard_episode_keys",
+    "replicate",
+]

@@ -1,0 +1,193 @@
+"""Performance-testing harness (TPU-native analogue of qinfer's perf_testing.py).
+
+Reference parity: ``src/qinfer/perf_testing.py`` — ``perf_test``,
+``perf_test_multiple``, the structured result dtype (fields
+``elapsed_time``, ``loss``, ``resample_count``, ``outcome``, ``true``,
+``est``), and the simulator-as-truth episode loop (call stack SURVEY §3.2).
+
+Design (not a port): one episode (heuristic → simulate at true params →
+update → record) is a single ``lax.scan`` — a jit-compiled state machine.
+Independent trials are ``vmap``-ed over a key axis, which is the TPU-native
+replacement for the reference's ipyparallel ``apply`` fan-out: thousands of
+SMC chains advance in lockstep on one chip, and the trial axis can be
+sharded over a mesh for multi-chip ensembles.
+
+Per-step wall-clock cannot be observed inside a compiled scan, so
+``elapsed_time`` reports (total device wall time)/(n_exp) uniformly —
+the aggregate timing the BASELINE metric needs.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resamplers import LiuWestResampler
+from .smc import SMCConfig, init_smc_state, smc_update_step
+
+__all__ = ["perf_test", "perf_test_multiple", "run_episodes", "timing"]
+
+
+class timing:
+    """Context manager timing a block. Reference: ``perf_testing.py — timing``."""
+
+    def __enter__(self):
+        self.start = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.end = time.perf_counter()
+
+    @property
+    def delta_t(self):
+        return self.end - self.start
+
+
+def _resolve_heuristic_core(heuristic_class, updater=None):
+    """Accept a reference-style heuristic class/partial and extract the pure
+    ``propose`` core used inside the scan."""
+    h = heuristic_class(updater)
+    if hasattr(h, "core"):
+        return h.core
+    if hasattr(h, "propose"):
+        return h
+    raise TypeError(
+        "Heuristic must expose a pure propose(key, state, step_idx)."
+    )
+
+
+@partial(jax.jit, static_argnames=("n_particles", "n_exp"))
+def run_episodes(model, heuristic_core, resampler, config, prior,
+                 true_model, true_prior, n_particles: int, n_exp: int, keys):
+    """Vectorized episodes: keys (n_trials, …) → records dict of
+    (n_trials, n_exp, …) arrays plus final states.
+
+    The episode loop is sequential in the experiment index (experiment k+1
+    depends on the posterior after k through the heuristic — SURVEY §3.5);
+    all parallelism is over trials/particles.
+    """
+
+    def one_episode(key):
+        k_prior, k_true, k_scan = jax.random.split(key, 3)
+        state = init_smc_state(k_prior, model, n_particles, prior)
+        true_mps = true_prior.sample(k_true, 1)  # (1, D_true)
+        model_sim = true_model if true_model is not None else model
+        q = model.Q
+
+        def step(carry, xs):
+            st, true_mp = carry
+            step_idx, k = xs
+            k_h, k_sim = jax.random.split(k)
+            ep = heuristic_core.propose(k_h, st, step_idx)
+            outcome = model_sim.simulate_experiment(k_sim, true_mp, ep)[0, 0, 0]
+            st, log_norm = smc_update_step(
+                model, resampler, config, st, outcome, ep
+            )
+            true_mp_next = model_sim.update_timestep(true_mp, ep)[:, :, 0]
+            w = jnp.exp(st.particle_log_weights)
+            est = jnp.tensordot(w, st.particle_locations, axes=(0, 0))
+            delta = est - true_mp[0, : est.shape[0]]
+            loss = jnp.sum(q * delta * delta)
+            rec = {
+                "loss": loss,
+                "resample_count": st.n_resamples,
+                "outcome": outcome.astype(jnp.float32),
+                "est": est,
+                "true": true_mp[0],
+                "log_norm": log_norm,
+            }
+            return (st, true_mp_next), rec
+
+        step_keys = jax.random.split(k_scan, n_exp)
+        steps = jnp.arange(n_exp)
+        (state, true_mp), recs = jax.lax.scan(
+            step, (state, true_mps), (steps, step_keys)
+        )
+        return recs, state
+
+    return jax.vmap(one_episode)(keys)
+
+
+def perf_test(model, n_particles, prior, n_exp, heuristic_class,
+              true_model=None, true_prior=None, true_mps=None,
+              resampler=None, extra_updater_args=None, seed=0, key=None):
+    """One trial; returns a structured array of shape (n_exp,).
+
+    Reference: ``perf_testing.py — perf_test``.
+    """
+    result, _ = perf_test_multiple(
+        1, model, n_particles, prior, n_exp, heuristic_class,
+        true_model=true_model, true_prior=true_prior,
+        resampler=resampler, extra_updater_args=extra_updater_args,
+        seed=seed, key=key, return_time=True,
+    )
+    return result[0]
+
+
+def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
+                       heuristic_class, true_model=None, true_prior=None,
+                       apply=None, allow_failures=False,
+                       extra_updater_args=None, resampler=None,
+                       progressbar=None, seed=0, key=None,
+                       return_time=False):
+    """Many independent trials, vmapped on device.
+
+    Reference: ``perf_testing.py — perf_test_multiple`` (whose ``apply``
+    ipyparallel fan-out is replaced by the on-device trial axis; the
+    ``apply``/``progressbar`` arguments are accepted for API compatibility
+    and ignored).
+
+    Returns a structured array of shape (n_trials, n_exp) with the
+    reference's field layout.
+    """
+    del apply, allow_failures, progressbar  # on-device vmap supersedes these
+
+    if resampler is None:
+        resampler = LiuWestResampler()
+    extra = dict(extra_updater_args or {})
+    config = SMCConfig(
+        resample_thresh=float(extra.pop("resample_thresh", 0.5)),
+        zero_weight_policy=extra.pop("zero_weight_policy", "reset"),
+        zero_weight_thresh=float(extra.pop("zero_weight_thresh", 1e-10)),
+    )
+    if true_prior is None:
+        true_prior = prior
+    heuristic_core = _resolve_heuristic_core(heuristic_class)
+
+    if key is None:
+        key = jax.random.key(seed)
+    keys = jax.random.split(key, n_trials)
+
+    with timing() as t:
+        recs, _states = run_episodes(
+            model, heuristic_core, resampler, config, prior,
+            true_model, true_prior, int(n_particles), int(n_exp), keys,
+        )
+        recs = jax.tree_util.tree_map(
+            lambda a: np.asarray(jax.block_until_ready(a)), recs
+        )
+
+    d_est = recs["est"].shape[-1]
+    d_true = recs["true"].shape[-1]
+    performance_dtype = np.dtype([
+        ("elapsed_time", float),
+        ("loss", float),
+        ("resample_count", int),
+        ("outcome", float),
+        ("true", float, (d_true,)),
+        ("est", float, (d_est,)),
+    ])
+    out = np.zeros((n_trials, n_exp), dtype=performance_dtype)
+    out["elapsed_time"] = t.delta_t / (n_trials * n_exp)
+    out["loss"] = recs["loss"]
+    out["resample_count"] = recs["resample_count"]
+    out["outcome"] = recs["outcome"]
+    out["true"] = recs["true"]
+    out["est"] = recs["est"]
+    if return_time:
+        return out, t.delta_t
+    return out

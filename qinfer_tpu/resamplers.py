@@ -1,0 +1,172 @@
+"""On-device resamplers (TPU-native analogue of qinfer's resamplers.py).
+
+Reference parity: ``src/qinfer/resamplers.py`` — ``Resampler`` (ABC),
+``LiuWestResampler`` (a=0.98 default; h, maxiter, postselect,
+zero_cov_comp, optional custom kernel).
+
+Design (not a port): the resampler is a pure function
+``(key, model, locs, log_w) -> new_locs`` that runs entirely on device
+inside the jitted SMC step:
+
+- index draw: *systematic resampling* (single uniform offset + cumsum +
+  ``searchsorted``) instead of the reference's multinomial
+  ``np.random.choice`` — same marginal distribution over counts with
+  strictly lower variance (PAPERS.md: variance reduction of resampling,
+  arXiv:2309.08620) and a TPU-friendly memory pattern (one sorted gather).
+- Liu–West shrinkage: new = a·x[idx] + (1−a)·μ + h·Σ^{1/2}·ε preserves the
+  first two posterior moments exactly (h² = 1 − a²).
+- postselection: the reference's unbounded per-particle rejection loop
+  becomes ``maxiter`` *vectorized* redraw rounds (each round redraws every
+  still-invalid particle), then a clamp-to-valid fallback via
+  ``model.canonicalize`` — bounded, jittable, and preserves validity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .utils import normalize_log_weights, sqrtm_psd, weighted_moments
+
+__all__ = ["Resampler", "LiuWestResampler", "systematic_resample_indices", "multinomial_resample_indices"]
+
+
+def systematic_resample_indices(key, log_w, n_draws=None):
+    """Systematic resampling: indices i such that x[i] ~ Categorical(w).
+
+    Strata u_k = (k + u0)/n with a single u0 ~ U[0,1); the inverse-CDF
+    lookup is computed *scatter-side* instead of search-side (the standard
+    parallel formulation, PAPERS.md arXiv:1301.4019, re-expressed for TPU):
+
+      t_j = ceil(n·cdf_j − u0) = number of strata below cdf_j, so particle
+      j covers output slots [t_{j−1}, t_j). idx = fill-forward of j
+      scattered at t_{j−1}, i.e. one scatter-max + one cummax — O(n) HBM
+      passes. This avoids ``jnp.searchsorted``, whose binary search
+      serializes ~20 full-width gathers on TPU (measured 130ms at n=1M vs
+      ~15ms for this formulation).
+    """
+    n = log_w.shape[0]
+    n_draws = n if n_draws is None else n_draws
+    w = jnp.exp(normalize_log_weights(log_w)[0])
+    cdf = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, ())
+    # Strata start positions per particle. Particles whose segment starts
+    # at/after n_draws cover no stratum — mode="drop" discards them (an
+    # upper clip would instead let them steal the final slot's max).
+    t = jnp.ceil(n_draws * cdf - u0).astype(jnp.int32)
+    starts = jnp.maximum(
+        jnp.concatenate([jnp.zeros((1,), jnp.int32), t[:-1]]), 0
+    )
+    particle_ids = jnp.arange(n, dtype=jnp.int32)
+    z = jnp.zeros((n_draws,), jnp.int32).at[starts].max(
+        particle_ids, mode="drop"
+    )
+    return jax.lax.cummax(z)
+
+
+def multinomial_resample_indices(key, log_w, n_draws=None):
+    """Multinomial (iid categorical) index draw — the reference's scheme."""
+    n = log_w.shape[0]
+    n_draws = n if n_draws is None else n_draws
+    return jax.random.categorical(key, log_w, shape=(n_draws,)).astype(jnp.int32)
+
+
+class Resampler:
+    """ABC. Reference: ``resamplers.py — Resampler``."""
+
+    def __call__(self, key, model, particle_locations, particle_log_weights):
+        raise NotImplementedError
+
+
+@jax.tree_util.register_static
+@dataclass(frozen=True, eq=False)
+class LiuWestResampler(Resampler):
+    """Liu–West kernel-shrinkage resampler.
+
+    Reference: ``src/qinfer/resamplers.py — LiuWestResampler.__call__``.
+    Defaults match the reference: a=0.98, h=√(1−a²), postselect=True.
+
+    ``maxiter`` here counts *vectorized* redraw rounds (each redraws all
+    still-invalid particles at once); the reference's maxiter counts scalar
+    rejection sweeps. 16 rounds at full width exceeds the reference's
+    effective redraw budget for any realistic acceptance rate.
+
+    ``kernel(key, shape)`` may replace the standard-normal perturbation
+    (reference's ``kernel`` argument, default ``np.random.randn``).
+    """
+
+    a: float = 0.98
+    h: Optional[float] = None
+    maxiter: int = 16
+    zero_cov_comp: float = 0.0
+    postselect: bool = True
+    kernel: Optional[Callable] = None
+    use_systematic: bool = True
+
+    @property
+    def _h(self):
+        import math
+
+        if self.h is not None:
+            return float(self.h)
+        return math.sqrt(1.0 - self.a ** 2)
+
+    def __call__(self, key, model, particle_locations, particle_log_weights):
+        locs = particle_locations
+        log_w = particle_log_weights
+        n, d = locs.shape
+
+        mu, cov = weighted_moments(log_w, locs)
+        cov = cov + self.zero_cov_comp * jnp.eye(d, dtype=cov.dtype)
+        h = self._h
+        S = sqrtm_psd((h * h) * cov)
+
+        k_idx, k_draw = jax.random.split(key)
+        if self.use_systematic:
+            idx = systematic_resample_indices(k_idx, log_w)
+        else:
+            idx = multinomial_resample_indices(k_idx, log_w)
+        centers = self.a * locs[idx] + (1.0 - self.a) * mu[None, :]
+
+        draw_noise = self.kernel if self.kernel is not None else (
+            lambda k, shape: jax.random.normal(k, shape)
+        )
+
+        def draw(k):
+            return centers + draw_noise(k, (n, d)) @ S.T
+
+        k0, kloop = jax.random.split(k_draw)
+        new_locs = draw(k0)
+
+        if not self.postselect:
+            return new_locs
+
+        valid0 = jnp.asarray(model.are_models_valid(new_locs))
+
+        # Bounded redraw with data-dependent early exit: the while_loop
+        # stops as soon as every particle is valid, so the common case
+        # (prior well inside the valid region) costs zero extra rounds.
+        def cond(carry):
+            _, ok, it, _ = carry
+            return (~jnp.all(ok)) & (it < self.maxiter)
+
+        def body(carry):
+            cur, ok, it, k = carry
+            k_draw, k_next = jax.random.split(k)
+            fresh = draw(k_draw)
+            fresh_ok = jnp.asarray(model.are_models_valid(fresh))
+            take = (~ok) & fresh_ok
+            cur = jnp.where(take[:, None], fresh, cur)
+            return cur, ok | fresh_ok, it + 1, k_next
+
+        new_locs, ok, _, _ = jax.lax.while_loop(
+            cond, body, (new_locs, valid0, jnp.zeros((), jnp.int32), kloop)
+        )
+
+        # Fallback: clamp stragglers to the valid region (reference warns
+        # via ResamplerWarning and keeps them; clamping is strictly safer).
+        clamped = model.canonicalize(new_locs)
+        return jnp.where(ok[:, None], new_locs, clamped)

@@ -1,0 +1,694 @@
+"""SMC inference engine (TPU-native analogue of qinfer's smc.py).
+
+Reference parity: ``src/qinfer/smc.py`` — ``SMCUpdater`` (``update``,
+``batch_update``, ``hypothetical_update``, ``est_mean``, ``est_meanfn``,
+``est_covariance_mtx``, ``est_entropy``, ``n_ess``, ``resample``,
+``bayes_risk``, ``expected_information_gain``, ``est_credible_region``,
+``region_est_hull``, ``region_est_ellipsoid``, ``in_credible_region``,
+``posterior_marginal``, ``plot_posterior_marginal``, ``plot_covariance``,
+``sample``, records: ``data_record``, ``normalization_record``,
+``log_total_likelihood``, ``resample_count``, ``min_n_ess``,
+``just_resampled``, ``zero_weight_policy``).
+
+Design (not a port):
+
+- The particle bank is a pytree ``SMCState`` with **log-space weights**
+  (the reference uses linear f64 weights; log-space is what makes f32 TPU
+  arithmetic match the f64 oracle within Monte-Carlo error).
+- The updater core is a *pure jitted function*
+  ``smc_update_step(model, resampler, config, state, outcome, expparams)``;
+  resampling is a ``lax.cond`` branch keyed on ESS < threshold·N, so the
+  whole Bayes-update → ESS → resample step is one fused XLA program.
+- ``batch_update`` is a single ``lax.scan`` over the experiment record —
+  one compiled state machine instead of the reference's Python loop.
+- Sharding is by GSPMD: put a ``NamedSharding(mesh, P('particles'))`` on
+  ``state.particle_locations``/``log_weights`` and the same jitted step
+  runs pod-sharded — the moment/normalization reductions become psums over
+  ICI automatically (see ``qinfer_tpu.parallel``).
+- ``SMCUpdater`` is a thin stateful host wrapper holding the state pytree
+  plus host-side records, preserving the reference API surface.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ._exceptions import ApproximationWarning, ResamplerWarning
+from .distributions import Distribution, ParticleDistribution
+from .models.base import _n_exps, expparams_field
+from .resamplers import LiuWestResampler
+from .utils import (
+    effective_sample_size,
+    normalize_log_weights,
+    particle_covariance_mtx,
+    particle_mean,
+    weighted_moments,
+)
+
+__all__ = ["SMCState", "SMCConfig", "SMCUpdater", "smc_update_step", "init_smc_state"]
+
+_LOG_TINY = -87.0  # exp(-87) ~ 1.6e-38, smallest safe f32 log-likelihood
+
+
+class SMCState(NamedTuple):
+    """The complete, checkpointable SMC state (SURVEY §5.4)."""
+
+    particle_locations: jnp.ndarray  # f32[N, D]
+    particle_log_weights: jnp.ndarray  # f32[N], normalized: logsumexp == 0
+    key: jnp.ndarray  # PRNG key
+    n_resamples: jnp.ndarray  # i32 scalar — reference's resample_count
+    min_n_ess: jnp.ndarray  # f32 scalar
+    log_total_likelihood: jnp.ndarray  # f32 scalar (model evidence)
+    just_resampled: jnp.ndarray  # bool scalar
+    n_zero_weight_events: jnp.ndarray  # i32 scalar
+
+
+@jax.tree_util.register_static
+@dataclass(frozen=True, eq=False)
+class SMCConfig:
+    """Constructor kwargs of the reference ``SMCUpdater`` as static config."""
+
+    resample_thresh: float = 0.5
+    zero_weight_policy: str = "error"  # 'error' | 'warn' | 'reset' | 'ignore'
+    zero_weight_thresh: float = 1e-10
+    canonicalize: bool = True
+
+
+def init_smc_state(key, model, n_particles: int, prior: Distribution) -> SMCState:
+    """Draw the initial particle cloud from the prior with uniform weights.
+
+    Reference: ``smc.py — SMCUpdater.reset``.
+    """
+    k_prior, k_state = jax.random.split(jnp.asarray(key))
+    locs = jnp.asarray(prior.sample(k_prior, n_particles), jnp.float32)
+    log_w = jnp.full((n_particles,), -jnp.log(float(n_particles)), jnp.float32)
+    return SMCState(
+        particle_locations=locs,
+        particle_log_weights=log_w,
+        key=k_state,
+        n_resamples=jnp.zeros((), jnp.int32),
+        min_n_ess=jnp.asarray(float(n_particles), jnp.float32),
+        log_total_likelihood=jnp.zeros((), jnp.float32),
+        just_resampled=jnp.zeros((), bool),
+        n_zero_weight_events=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure functional core
+# ---------------------------------------------------------------------------
+
+def hypothetical_log_update(model, state: SMCState, outcomes, expparams):
+    """Log-space hypothetical update.
+
+    Returns (log_w_hyp[O, E, N], log_norm[O, E]) where
+    log_norm[o, e] = log Pr(outcome o | expparam e) under the current
+    posterior (the evidence used by bayes_risk/EIG), and log_w_hyp is
+    normalized over N.
+
+    Reference: ``smc.py — SMCUpdater.hypothetical_update``.
+    """
+    log_L = model.log_likelihood(
+        outcomes, state.particle_locations, expparams
+    )  # (O, N, E)
+    log_L = jnp.clip(log_L, _LOG_TINY, 0.0)
+    log_w_hyp = state.particle_log_weights[None, :, None] + log_L  # (O, N, E)
+    log_norm = jax.scipy.special.logsumexp(log_w_hyp, axis=1)  # (O, E)
+    log_w_hyp = log_w_hyp - log_norm[:, None, :]
+    return jnp.swapaxes(log_w_hyp, 1, 2), log_norm
+
+
+def smc_update_step(model, resampler, config: SMCConfig, state: SMCState,
+                    outcome, expparams):
+    """One Bayes update + conditional resample. Jit-compiled via the wrapper.
+
+    Reference: ``smc.py — SMCUpdater.update`` (call stack SURVEY §3.1).
+    Returns (new_state, log_norm) with log_norm the single-update evidence
+    log Pr(outcome | expparam) — the normalization_record entry.
+    """
+    outcome_arr = jnp.atleast_1d(jnp.asarray(outcome))[:1]
+    log_L = model.log_likelihood(
+        outcome_arr, state.particle_locations, expparams
+    )[0, :, 0]  # (N,)
+    log_L = jnp.clip(log_L, _LOG_TINY, 0.0)
+    log_w_new = state.particle_log_weights + log_L
+    log_norm = jax.scipy.special.logsumexp(log_w_new)
+    log_w_norm = log_w_new - log_norm
+
+    # Zero-weight (total weight collapse) handling — SURVEY §5.3.
+    is_zero = log_norm < jnp.log(config.zero_weight_thresh)
+    if config.zero_weight_policy == "reset":
+        n = state.particle_log_weights.shape[0]
+        uniform = jnp.full_like(log_w_norm, -jnp.log(float(n)))
+        log_w_norm = jnp.where(is_zero, uniform, log_w_norm)
+    zero_events = state.n_zero_weight_events + is_zero.astype(jnp.int32)
+
+    ess = effective_sample_size(log_w_norm)
+    state = state._replace(
+        particle_log_weights=log_w_norm,
+        log_total_likelihood=state.log_total_likelihood + log_norm,
+        min_n_ess=jnp.minimum(state.min_n_ess, ess),
+        n_zero_weight_events=zero_events,
+    )
+
+    n_particles = state.particle_log_weights.shape[0]
+    need_resample = ess < config.resample_thresh * n_particles
+
+    def do_resample(st: SMCState) -> SMCState:
+        k_res, k_next = jax.random.split(st.key)
+        new_locs = resampler(
+            k_res, model, st.particle_locations, st.particle_log_weights
+        )
+        uniform = jnp.full(
+            (n_particles,), -jnp.log(float(n_particles)), jnp.float32
+        )
+        return st._replace(
+            particle_locations=new_locs,
+            particle_log_weights=uniform,
+            key=k_next,
+            n_resamples=st.n_resamples + 1,
+            just_resampled=jnp.ones((), bool),
+        )
+
+    def no_resample(st: SMCState) -> SMCState:
+        return st._replace(just_resampled=jnp.zeros((), bool))
+
+    state = jax.lax.cond(need_resample, do_resample, no_resample, state)
+    return state, log_norm
+
+
+def smc_batch_update(model, resampler, config: SMCConfig, state: SMCState,
+                     outcomes, expparams):
+    """Scan the update step over a record of T experiments.
+
+    ``outcomes``: (T,) [or (T, k)]; ``expparams``: pytree with leading axis T
+    (each scan step sees a single-experiment slice, E=1).
+
+    Reference: ``smc.py — SMCUpdater.batch_update`` (a Python for-loop
+    there; a single compiled ``lax.scan`` state machine here).
+    """
+
+    def step(st, xs):
+        outcome, ep = xs
+        ep1 = jax.tree_util.tree_map(lambda a: a[None], ep)
+        return smc_update_step(model, resampler, config, st, outcome, ep1)
+
+    ep_tree = jax.tree_util.tree_map(jnp.asarray, expparams)
+    return jax.lax.scan(step, state, (jnp.asarray(outcomes), ep_tree))
+
+
+def bayes_risk_fn(model, state: SMCState, expparams, Q=None):
+    """Expected posterior quadratic loss per candidate experiment: (E,).
+
+    risk(e) = Σ_o Pr(o|e) · tr[Q · Cov_post(o, e)]
+
+    Reference: ``smc.py — SMCUpdater.bayes_risk`` (call stack SURVEY §3.3).
+    Fully batched over outcomes × candidates; the second-moment contraction
+    is an einsum that XLA maps onto the MXU.
+    """
+    outcomes = model.all_outcomes(expparams)
+    log_w_hyp, log_norm = hypothetical_log_update(model, state, outcomes, expparams)
+    w_hyp = jnp.exp(log_w_hyp)  # (O, E, N)
+    locs = state.particle_locations  # (N, D)
+    q = (
+        jnp.ones((locs.shape[1],), jnp.float32)
+        if Q is None
+        else jnp.asarray(Q, jnp.float32)
+    )
+    mu = jnp.einsum("oen,nd->oed", w_hyp, locs)
+    second = jnp.einsum("oen,nd->oed", w_hyp, locs * locs)
+    var = second - mu * mu  # (O, E, D)
+    tr_qcov = var @ q  # (O, E)
+    pr_o = jnp.exp(log_norm)  # (O, E)
+    return jnp.sum(pr_o * tr_qcov, axis=0)
+
+
+def expected_information_gain_fn(model, state: SMCState, expparams):
+    """Mutual information I(outcome; params | e) per candidate: (E,).
+
+    IG(e) = H[Σ_n w_n L(o|n,e)] − Σ_n w_n H[L(·|n,e)]
+
+    Reference: ``smc.py — SMCUpdater.expected_information_gain`` (same
+    hypothetical machinery; this entropy form is algebraically identical
+    and avoids materializing posterior weight tensors twice).
+    """
+    outcomes = model.all_outcomes(expparams)
+    log_L = jnp.clip(
+        model.log_likelihood(outcomes, state.particle_locations, expparams),
+        _LOG_TINY,
+        0.0,
+    )  # (O, N, E)
+    w = jnp.exp(state.particle_log_weights)  # (N,)
+    L = jnp.exp(log_L)
+    marg = jnp.einsum("n,one->oe", w, L)  # Pr(o|e)
+    h_marg = -jnp.sum(
+        marg * jnp.log(jnp.clip(marg, 1e-38)), axis=0
+    )  # (E,)
+    h_cond = -jnp.einsum("n,one,one->e", w, L, log_L)
+    return h_marg - h_cond
+
+
+# ---------------------------------------------------------------------------
+# Stateful host wrapper — reference API surface
+# ---------------------------------------------------------------------------
+
+class SMCUpdater(ParticleDistribution):
+    """Sequential-Monte-Carlo Bayesian updater.
+
+    Reference: ``src/qinfer/smc.py — SMCUpdater``. Same constructor
+    signature and defaults; the state lives on device as an ``SMCState``
+    pytree and every update runs one jitted XLA program.
+    """
+
+    def __init__(
+        self,
+        model,
+        n_particles: int,
+        prior: Distribution,
+        resample_a: Optional[float] = None,
+        resampler: Optional[LiuWestResampler] = None,
+        resample_thresh: float = 0.5,
+        zero_weight_policy: str = "error",
+        zero_weight_thresh: float = 1e-10,
+        track_resampling_divergence: bool = False,
+        seed: int = 0,
+        key=None,
+    ):
+        self.model = model
+        self.prior = prior
+        self._n_particles = int(n_particles)
+        if resampler is None:
+            resampler = LiuWestResampler(
+                a=0.98 if resample_a is None else float(resample_a)
+            )
+        self.resampler = resampler
+        if zero_weight_policy not in ("error", "warn", "reset", "ignore"):
+            raise ValueError(
+                f"Unknown zero_weight_policy {zero_weight_policy!r}; "
+                "expected 'error', 'warn', 'reset', or 'ignore'."
+            )
+        self.config = SMCConfig(
+            resample_thresh=float(resample_thresh),
+            zero_weight_policy=zero_weight_policy,
+            zero_weight_thresh=float(zero_weight_thresh),
+        )
+        self._track_rsd = bool(track_resampling_divergence)
+
+        # Host-side records (reference API parity).
+        self.data_record = []
+        self.normalization_record = []
+        self.resampling_divergences = [] if track_resampling_divergence else None
+        self._call_count = 0
+        self._sim_count = 0
+
+        if key is None:
+            # Old-style uint32 keys: they serialize through np.savez/orbax
+            # without key_data unwrapping (checkpoint tests rely on this).
+            key = jax.random.PRNGKey(seed)
+        self._init_key = key
+        self.state = init_smc_state(key, model, self._n_particles, prior)
+
+        # One jitted step/batch per updater — model/resampler/config are
+        # static pytree nodes, so these trace once per shape signature.
+        self._jit_step = jax.jit(smc_update_step)
+        self._jit_batch = jax.jit(smc_batch_update)
+        self._jit_risk = jax.jit(bayes_risk_fn)
+        self._jit_eig = jax.jit(expected_information_gain_fn)
+
+    # -- properties (reference parity) ------------------------------------
+
+    @property
+    def n_particles(self):
+        return self._n_particles
+
+    @property
+    def particle_locations(self):
+        return self.state.particle_locations
+
+    @property
+    def particle_log_weights(self):
+        return self.state.particle_log_weights
+
+    @property
+    def particle_weights(self):
+        return jnp.exp(self.state.particle_log_weights)
+
+    @property
+    def resample_count(self):
+        return int(self.state.n_resamples)
+
+    @property
+    def just_resampled(self):
+        return bool(self.state.just_resampled)
+
+    @property
+    def log_total_likelihood(self):
+        return float(self.state.log_total_likelihood)
+
+    @property
+    def total_likelihood(self):
+        return float(jnp.exp(self.state.log_total_likelihood))
+
+    @property
+    def min_n_ess(self):
+        return float(self.state.min_n_ess)
+
+    @property
+    def data_record_array(self):
+        return np.asarray(self.data_record)
+
+    def n_ess(self):
+        return effective_sample_size(self.state.particle_log_weights)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def reset(self, n_particles=None, only_params=None):
+        """Re-draw particles from the prior. Reference: ``SMCUpdater.reset``."""
+        if n_particles is not None:
+            self._n_particles = int(n_particles)
+        if only_params is not None:
+            raise NotImplementedError("only_params reset is not supported.")
+        self.state = init_smc_state(
+            self._init_key, self.model, self._n_particles, self.prior
+        )
+        self.data_record = []
+        self.normalization_record = []
+
+    # -- updates -----------------------------------------------------------
+
+    def hypothetical_update(
+        self,
+        outcomes,
+        expparams,
+        return_likelihood=False,
+        return_normalization=False,
+    ):
+        """Reference: ``SMCUpdater.hypothetical_update``. Returns linear
+        weights (O, E, N) [+ norm (O, E, 1)] [+ likelihood (O, N, E)]."""
+        outcomes = jnp.atleast_1d(jnp.asarray(outcomes))
+        log_w_hyp, log_norm = hypothetical_log_update(
+            self.model, self.state, outcomes, expparams
+        )
+        self._call_count += (
+            outcomes.shape[0] * self._n_particles * _n_exps(expparams)
+        )
+        out = [jnp.exp(log_w_hyp)]
+        if return_normalization:
+            out.append(jnp.exp(log_norm)[:, :, None])
+        if return_likelihood:
+            out.append(
+                jnp.exp(
+                    self.model.log_likelihood(
+                        outcomes, self.state.particle_locations, expparams
+                    )
+                )
+            )
+        return out[0] if len(out) == 1 else tuple(out)
+
+    def update(self, outcome, expparams, check_for_resample=True):
+        """One Bayes update (+ conditional resample).
+
+        Reference: ``SMCUpdater.update``. ``check_for_resample=False``
+        replicates the reference's deferred-resampling mode by raising the
+        threshold to −∞ for this call.
+        """
+        config = self.config
+        if not check_for_resample:
+            config = SMCConfig(
+                resample_thresh=-1.0,
+                zero_weight_policy=self.config.zero_weight_policy,
+                zero_weight_thresh=self.config.zero_weight_thresh,
+            )
+        expparams = _as_single_expparams(expparams)
+        prev_zero = int(self.state.n_zero_weight_events)
+        self.state, log_norm = self._jit_step(
+            self.model, self.resampler, config, self.state, outcome, expparams
+        )
+        self._call_count += self._n_particles
+        self.data_record.append(
+            (np.asarray(outcome), jax.tree_util.tree_map(np.asarray, expparams))
+        )
+        self.normalization_record.append(float(jnp.exp(log_norm)))
+        self._check_zero_weight(prev_zero)
+        return self
+
+    def batch_update(self, outcomes, expparams):
+        """Replay a record of T experiments in one compiled scan.
+
+        Reference: ``SMCUpdater.batch_update``.
+        """
+        outcomes = jnp.asarray(outcomes)
+        prev_zero = int(self.state.n_zero_weight_events)
+        self.state, log_norms = self._jit_batch(
+            self.model, self.resampler, self.config, self.state,
+            outcomes, expparams,
+        )
+        self._call_count += self._n_particles * outcomes.shape[0]
+        self.normalization_record.extend(
+            np.exp(np.asarray(log_norms)).tolist()
+        )
+        for i in range(int(outcomes.shape[0])):
+            self.data_record.append(
+                (
+                    np.asarray(outcomes[i]),
+                    jax.tree_util.tree_map(
+                        lambda a: np.asarray(a)[i], expparams
+                    ),
+                )
+            )
+        self._check_zero_weight(prev_zero)
+        return self
+
+    def resample(self):
+        """Force a resample now. Reference: ``SMCUpdater.resample``."""
+        st = self.state
+        k_res, k_next = jax.random.split(st.key)
+        new_locs = self.resampler(
+            k_res, self.model, st.particle_locations, st.particle_log_weights
+        )
+        uniform = jnp.full(
+            (self._n_particles,), -jnp.log(float(self._n_particles)), jnp.float32
+        )
+        self.state = st._replace(
+            particle_locations=new_locs,
+            particle_log_weights=uniform,
+            key=k_next,
+            n_resamples=st.n_resamples + 1,
+            just_resampled=jnp.ones((), bool),
+        )
+        return self
+
+    def _check_zero_weight(self, prev_count):
+        events = int(self.state.n_zero_weight_events) - prev_count
+        if events <= 0:
+            return
+        policy = self.config.zero_weight_policy
+        msg = (
+            f"{events} update(s) had total weight < "
+            f"{self.config.zero_weight_thresh}; posterior may be unreliable."
+        )
+        if policy == "error":
+            raise RuntimeError(msg)
+        elif policy == "warn":
+            warnings.warn(msg, ApproximationWarning)
+        # 'reset' handled on device; 'ignore' is a no-op.
+
+    # -- estimators --------------------------------------------------------
+
+    def est_mean(self):
+        return particle_mean(self.particle_weights, self.particle_locations)
+
+    def est_meanfn(self, fn):
+        return jnp.tensordot(
+            self.particle_weights, fn(self.particle_locations), axes=(0, 0)
+        )
+
+    def est_covariance_mtx(self, corr=False):
+        cov = particle_covariance_mtx(
+            self.particle_weights, self.particle_locations
+        )
+        if corr:
+            std = jnp.sqrt(jnp.diag(cov))
+            cov = cov / jnp.outer(std, std)
+        return cov
+
+    def est_entropy(self):
+        """−Σ wᵢ log wᵢ. Reference: ``SMCUpdater.est_entropy``."""
+        log_w = self.state.particle_log_weights
+        return -jnp.sum(jnp.exp(log_w) * log_w)
+
+    # -- experiment design -------------------------------------------------
+
+    def bayes_risk(self, expparams, Q=None):
+        if Q is None:
+            Q = getattr(self.model, "Q", None)
+        risk = self._jit_risk(self.model, self.state, expparams, Q)
+        return risk[0] if risk.shape[0] == 1 else risk
+
+    def expected_information_gain(self, expparams):
+        ig = self._jit_eig(self.model, self.state, expparams)
+        return ig[0] if ig.shape[0] == 1 else ig
+
+    # -- credible regions (host-side geometry; SURVEY §2.19/§5.5) ----------
+
+    def est_credible_region(self, level=0.95, return_outside=False,
+                            modelparam_slice=None):
+        """Particles in the highest-posterior-density credible set.
+
+        Reference: ``SMCUpdater.est_credible_region``.
+        """
+        w = np.asarray(self.particle_weights)
+        locs = np.asarray(self.particle_locations)
+        if modelparam_slice is not None:
+            locs = locs[:, modelparam_slice]
+        order = np.argsort(w)[::-1]
+        cum = np.cumsum(w[order])
+        n_keep = int(np.searchsorted(cum, level) + 1)
+        inside = order[:n_keep]
+        if return_outside:
+            return locs[inside], locs[order[n_keep:]]
+        return locs[inside]
+
+    def region_est_hull(self, level=0.95, modelparam_slice=None):
+        """Convex hull (vertices, simplices) of the credible set.
+
+        Reference: ``SMCUpdater.region_est_hull``.
+        """
+        from scipy.spatial import ConvexHull
+
+        points = np.asarray(
+            self.est_credible_region(level, modelparam_slice=modelparam_slice)
+        )
+        if points.shape[1] == 1:
+            lo, hi = points.min(), points.max()
+            return np.array([[lo], [hi]]), None
+        hull = ConvexHull(points)
+        return points[hull.vertices], hull.simplices
+
+    def region_est_ellipsoid(self, level=0.95, tol=1e-4, modelparam_slice=None):
+        """MVEE (A, c) over the credible hull. Reference:
+        ``SMCUpdater.region_est_ellipsoid``."""
+        from .utils import mvee
+
+        vertices, _ = self.region_est_hull(level, modelparam_slice)
+        return mvee(vertices, tol=tol)
+
+    def in_credible_region(self, points, level=0.95, modelparam_slice=None,
+                           method="hpd-hull", tol=1e-4):
+        """Membership test against the credible region.
+
+        Reference: ``SMCUpdater.in_credible_region``. Methods:
+        'hpd-hull' (convex-hull Delaunay test), 'hpd-mvee' (ellipsoid).
+        """
+        points = np.atleast_2d(np.asarray(points))
+        if method == "hpd-mvee":
+            from .utils import in_ellipsoid
+
+            A, c = self.region_est_ellipsoid(level, tol, modelparam_slice)
+            return in_ellipsoid(points, np.asarray(A), np.asarray(c))
+        vertices, _ = self.region_est_hull(level, modelparam_slice)
+        if vertices.shape[1] == 1:
+            lo, hi = vertices.min(), vertices.max()
+            return (points[:, 0] >= lo) & (points[:, 0] <= hi)
+        from scipy.spatial import Delaunay
+
+        return Delaunay(vertices).find_simplex(points) >= 0
+
+    # -- marginals & plotting ---------------------------------------------
+
+    def posterior_marginal(self, idx_param=0, res=100, smoothing=0.0,
+                           range_min=None, range_max=None):
+        """Weighted-histogram marginal (xs, density).
+
+        Reference: ``SMCUpdater.posterior_marginal``.
+        """
+        locs = np.asarray(self.particle_locations[:, idx_param])
+        w = np.asarray(self.particle_weights)
+        lo = float(locs.min()) if range_min is None else range_min
+        hi = float(locs.max()) if range_max is None else range_max
+        if hi <= lo:
+            hi = lo + 1e-6
+        hist, edges = np.histogram(
+            locs, bins=res, range=(lo, hi), weights=w, density=True
+        )
+        xs = 0.5 * (edges[1:] + edges[:-1])
+        if smoothing > 0:
+            from scipy.ndimage import gaussian_filter1d
+
+            hist = gaussian_filter1d(hist, smoothing / (edges[1] - edges[0]))
+        return xs, hist
+
+    def plot_posterior_marginal(self, idx_param=0, res=100, smoothing=0.0,
+                                range_min=None, range_max=None,
+                                label_xaxis=True, other_plot_args={},
+                                true_model=None):
+        """Reference: ``SMCUpdater.plot_posterior_marginal``."""
+        import matplotlib.pyplot as plt
+
+        xs, ys = self.posterior_marginal(
+            idx_param, res, smoothing, range_min, range_max
+        )
+        line = plt.plot(xs, ys, **other_plot_args)
+        if label_xaxis:
+            plt.xlabel(str(self.model.modelparam_names[idx_param]))
+        if true_model is not None:
+            plt.axvline(np.asarray(true_model).flatten()[idx_param], ls="--")
+        return line
+
+    def plot_covariance(self, corr=False, param_slice=None, tick_labels=None,
+                        tick_params=None):
+        """Reference: ``SMCUpdater.plot_covariance``."""
+        import matplotlib.pyplot as plt
+
+        cov = np.asarray(self.est_covariance_mtx(corr=corr))
+        if param_slice is not None:
+            cov = cov[param_slice, param_slice]
+        im = plt.imshow(cov, cmap="RdBu", vmin=-np.abs(cov).max(),
+                        vmax=np.abs(cov).max())
+        plt.colorbar(im)
+        return im
+
+    # -- sampling ----------------------------------------------------------
+
+    def sample(self, key=None, n=1):
+        """Draw from the posterior particle cloud.
+
+        Reference: ``SMCUpdater.sample`` (key is explicit here; if omitted,
+        consumes the state key).
+        """
+        if key is None:
+            key, next_key = jax.random.split(self.state.key)
+            self.state = self.state._replace(key=next_key)
+        idx = jax.random.categorical(
+            key, self.state.particle_log_weights, shape=(n,)
+        )
+        return self.state.particle_locations[idx]
+
+    def __repr__(self):
+        return (
+            f"SMCUpdater(model={type(self.model).__name__}, "
+            f"n_particles={self._n_particles}, "
+            f"resample_count={self.resample_count})"
+        )
+
+
+def _as_single_expparams(expparams):
+    """Canonicalize one experiment's parameters to leading axis E=1."""
+
+    def fix(a):
+        a = jnp.asarray(a)
+        if a.ndim == 0:
+            return a[None]
+        return a
+
+    return jax.tree_util.tree_map(fix, expparams)
+
+
+# Re-export for convenience with reference naming.
+_ = expparams_field
