@@ -34,18 +34,34 @@ from .distributions import (
     UniformDistribution,
 )
 from .models import (
+    ALEApproximateModel,
+    BinomialModel,
     CoinModel,
+    DerivedModel,
+    DifferentiableBinomialModel,
     DifferentiableModel,
     FiniteOutcomeModel,
+    GaussianRandomWalkModel,
     KnownT2PrecessionModel,
+    MLEModel,
     Model,
     MultiCosModel,
+    MultinomialModel,
     NDieModel,
     NoisyCoinModel,
+    PoisonedModel,
+    RandomizedBenchmarkingModel,
+    RandomWalkModel,
+    ReferencedPoissonModel,
     SimpleInversionModel,
     SimplePrecessionModel,
     Simulatable,
+    binom_est_error,
+    binom_est_p,
 )
+from . import models as _models_pkg
+from .models import rb
+from .simple_est import load_data_or_txt, simple_est_prec, simple_est_rb
 from .resamplers import LiuWestResampler, Resampler
 from .smc import SMCConfig, SMCState, SMCUpdater, init_smc_state, smc_update_step
 from .heuristics import PGH, ExpSparseHeuristic, Heuristic
@@ -69,6 +85,12 @@ __all__ = [
     "Simulatable", "Model", "FiniteOutcomeModel", "DifferentiableModel",
     "SimplePrecessionModel", "SimpleInversionModel", "CoinModel",
     "NoisyCoinModel", "NDieModel", "MultiCosModel", "KnownT2PrecessionModel",
+    "DerivedModel", "BinomialModel", "DifferentiableBinomialModel",
+    "MultinomialModel", "PoisonedModel", "RandomWalkModel",
+    "GaussianRandomWalkModel", "MLEModel", "ReferencedPoissonModel",
+    "RandomizedBenchmarkingModel", "rb",
+    "ALEApproximateModel", "binom_est_p", "binom_est_error",
+    "simple_est_prec", "simple_est_rb", "load_data_or_txt",
     # engine
     "SMCUpdater", "SMCState", "SMCConfig", "init_smc_state",
     "smc_update_step", "LiuWestResampler", "Resampler",

@@ -16,8 +16,34 @@ from .test_models import (
     SimpleInversionModel,
     SimplePrecessionModel,
 )
+from .derived import (
+    BinomialModel,
+    DerivedModel,
+    DifferentiableBinomialModel,
+    GaussianRandomWalkModel,
+    MLEModel,
+    MultinomialModel,
+    PoisonedModel,
+    RandomWalkModel,
+    ReferencedPoissonModel,
+)
+from .rb import RandomizedBenchmarkingModel
+from .ale import ALEApproximateModel, binom_est_error, binom_est_p
 
 __all__ = [
+    "DerivedModel",
+    "BinomialModel",
+    "DifferentiableBinomialModel",
+    "MultinomialModel",
+    "PoisonedModel",
+    "RandomWalkModel",
+    "GaussianRandomWalkModel",
+    "MLEModel",
+    "ReferencedPoissonModel",
+    "RandomizedBenchmarkingModel",
+    "ALEApproximateModel",
+    "binom_est_p",
+    "binom_est_error",
     "Simulatable",
     "Model",
     "FiniteOutcomeModel",

@@ -138,12 +138,14 @@ class Simulatable:
         """Outcomes of shape (repeat, N, E). Explicit PRNG key."""
         raise NotImplementedError
 
-    def update_timestep(self, modelparams, expparams):
+    def update_timestep(self, modelparams, expparams, key=None):
         """Time-dependence hook: returns (N, D, E) evolved parameters.
 
         Reference: ``abstract_model.py — Simulatable.update_timestep``
-        (identity by default).
+        (identity by default). ``key`` supplies explicit randomness for
+        stochastic walks (the reference used global RNG state).
         """
+        del key
         n_exp = _n_exps(expparams)
         return jnp.broadcast_to(
             modelparams[:, :, None],

@@ -81,13 +81,15 @@ def run_episodes(model, heuristic_core, resampler, config, prior,
         def step(carry, xs):
             st, true_mp = carry
             step_idx, k = xs
-            k_h, k_sim = jax.random.split(k)
+            k_h, k_sim, k_ts = jax.random.split(k, 3)
             ep = heuristic_core.propose(k_h, st, step_idx)
             outcome = model_sim.simulate_experiment(k_sim, true_mp, ep)[0, 0, 0]
             st, log_norm = smc_update_step(
                 model, resampler, config, st, outcome, ep
             )
-            true_mp_next = model_sim.update_timestep(true_mp, ep)[:, :, 0]
+            true_mp_next = model_sim.update_timestep(true_mp, ep, key=k_ts)[
+                :, :, 0
+            ]
             w = jnp.exp(st.particle_log_weights)
             est = jnp.tensordot(w, st.particle_locations, axes=(0, 0))
             delta = est - true_mp[0, : est.shape[0]]

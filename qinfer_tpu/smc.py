@@ -223,7 +223,10 @@ def bayes_risk_fn(model, state: SMCState, expparams, Q=None):
     )
     mu = jnp.einsum("oen,nd->oed", w_hyp, locs)
     second = jnp.einsum("oen,nd->oed", w_hyp, locs * locs)
-    var = second - mu * mu  # (O, E, D)
+    # Uncentered difference can go slightly negative in f32; risk is used
+    # for ranking candidates, so clipping at 0 is safe (a centered pass
+    # would materialize an (O,E,N,D) intermediate).
+    var = jnp.clip(second - mu * mu, 0.0)  # (O, E, D)
     tr_qcov = var @ q  # (O, E)
     pr_o = jnp.exp(log_norm)  # (O, E)
     return jnp.sum(pr_o * tr_qcov, axis=0)

@@ -57,19 +57,22 @@ def log_binomial_coefficient(n, k):
     return gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)
 
 
-def log_binomial_pdf(n, k, p, eps=1e-12):
+def log_binomial_pdf(n, k, p):
     """log Pr(k | n, p) for a binomial. Mirrors ``utils.binomial_pdf``.
 
-    Uses xlogy-style guards so p in {0, 1} yields correct limits.
+    xlogy/xlog1py give the correct limits at p ∈ {0, 1} in f32 (where an
+    eps clip of 1 − 1e-12 rounds back to 1.0 and 0·log(0) would be NaN);
+    impossible outcomes come back as −inf, which the SMC engine clips.
     """
+    from jax.scipy.special import xlog1py, xlogy
+
     n = jnp.asarray(n, jnp.float32)
     k = jnp.asarray(k, jnp.float32)
     p = jnp.asarray(p, jnp.float32)
-    p = jnp.clip(p, eps, 1.0 - eps)
     return (
         log_binomial_coefficient(n, k)
-        + k * jnp.log(p)
-        + (n - k) * jnp.log1p(-p)
+        + xlogy(k, p)
+        + xlog1py(n - k, -p)
     )
 
 
@@ -165,24 +168,26 @@ def particle_mean(weights, locations):
 
 
 def particle_covariance_mtx(weights, locations):
-    """Weighted covariance Σᵢ wᵢ xᵢxᵢᵀ − μμᵀ.
+    """Weighted covariance Σᵢ wᵢ (xᵢ−μ)(xᵢ−μ)ᵀ.
 
-    Reference: ``src/qinfer/utils.py — particle_covariance_mtx``. Written as
-    two contractions so GSPMD turns the particle-axis reductions into psums
-    when ``locations`` is sharded on that axis.
+    Reference: ``src/qinfer/utils.py — particle_covariance_mtx``. The
+    *centered* two-pass form is mandatory in f32: the textbook
+    E[xxᵀ] − μμᵀ cancellation produces negative variances once the
+    posterior is ~1e-3 of the mean scale. The contraction is still a
+    matmul (MXU) and the particle-axis reduction still psums under GSPMD.
     """
     mu = particle_mean(weights, locations)
-    second = jnp.einsum("i,id,ie->de", weights, locations, locations)
-    cov = second - jnp.outer(mu, mu)
+    centered = locations - mu[None, :]
+    cov = jnp.einsum("i,id,ie->de", weights, centered, centered)
     return 0.5 * (cov + cov.T)
 
 
 def weighted_moments(log_w, locations):
-    """(mean, cov) from log-weights; single fused pass used by the SMC core."""
+    """(mean, cov) from log-weights, centered for f32 stability."""
     w = jnp.exp(normalize_log_weights(log_w)[0])
     mu = particle_mean(w, locations)
-    second = jnp.einsum("i,id,ie->de", w, locations, locations)
-    cov = second - jnp.outer(mu, mu)
+    centered = locations - mu[None, :]
+    cov = jnp.einsum("i,id,ie->de", w, centered, centered)
     return mu, 0.5 * (cov + cov.T)
 
 
