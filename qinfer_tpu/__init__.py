@@ -62,8 +62,23 @@ from .models import (
 from . import models as _models_pkg
 from .models import rb
 from .simple_est import load_data_or_txt, simple_est_prec, simple_est_rb
+from . import tomography
 from .resamplers import LiuWestResampler, Resampler
-from .smc import SMCConfig, SMCState, SMCUpdater, init_smc_state, smc_update_step
+from .smc import (
+    MixedApproximateSMCUpdater,
+    SMCConfig,
+    SMCState,
+    SMCUpdater,
+    SMCUpdaterBCRB,
+    init_smc_state,
+    smc_update_step,
+)
+from .expdesign import ExperimentDesigner, OptimizationAlgorithms
+from .finite_difference import FiniteDifference
+from .score import ScoreMixin
+from .clustering import NOISE, particle_clusters
+from .metrics import rescaled_distance_mtx, weighted_pairwise_distances
+from .ipy import IPythonProgressBar
 from .heuristics import PGH, ExpSparseHeuristic, Heuristic
 from .perf_testing import perf_test, perf_test_multiple, run_episodes, timing
 from . import utils
@@ -92,10 +107,17 @@ __all__ = [
     "ALEApproximateModel", "binom_est_p", "binom_est_error",
     "simple_est_prec", "simple_est_rb", "load_data_or_txt",
     # engine
-    "SMCUpdater", "SMCState", "SMCConfig", "init_smc_state",
+    "SMCUpdater", "SMCUpdaterBCRB", "MixedApproximateSMCUpdater",
+    "SMCState", "SMCConfig", "init_smc_state",
     "smc_update_step", "LiuWestResampler", "Resampler",
     # design
     "Heuristic", "PGH", "ExpSparseHeuristic",
+    "ExperimentDesigner", "OptimizationAlgorithms",
+    # numerics / analysis
+    "FiniteDifference", "ScoreMixin",
+    "particle_clusters", "NOISE",
+    "rescaled_distance_mtx", "weighted_pairwise_distances",
+    "IPythonProgressBar", "tomography",
     # harness
     "perf_test", "perf_test_multiple", "run_episodes", "timing",
     # misc

@@ -250,9 +250,9 @@ def expected_information_gain_fn(model, state: SMCState, expparams):
     w = jnp.exp(state.particle_log_weights)  # (N,)
     L = jnp.exp(log_L)
     marg = jnp.einsum("n,one->oe", w, L)  # Pr(o|e)
-    h_marg = -jnp.sum(
-        marg * jnp.log(jnp.clip(marg, 1e-38)), axis=0
-    )  # (E,)
+    # xlogy: 0·log(0) = 0 (an eps floor below FLT_MIN gets flushed to zero
+    # and would reintroduce log(0) → NaN for impossible outcomes).
+    h_marg = -jnp.sum(jax.scipy.special.xlogy(marg, marg), axis=0)  # (E,)
     h_cond = -jnp.einsum("n,one,one->e", w, L, log_L)
     return h_marg - h_cond
 
@@ -679,6 +679,103 @@ class SMCUpdater(ParticleDistribution):
             f"n_particles={self._n_particles}, "
             f"resample_count={self.resample_count})"
         )
+
+
+class SMCUpdaterBCRB(SMCUpdater):
+    """SMC updater that also tracks the Bayesian Cramér–Rao bound.
+
+    Reference: ``smc.py — SMCUpdaterBCRB``. The Bayesian information
+    matrix accumulates the posterior-averaged Fisher information of each
+    performed experiment: B_{k+1} = B_k + E_posterior[F(θ; e_k)] (the
+    ``adaptive`` variant of the reference; the non-adaptive variant
+    averages over the *initial* prior instead). Fisher information comes
+    from ``jax.grad`` — exact, where the reference needed hand-written or
+    finite-difference scores.
+
+    ``current_bcrb`` = inv(B): the lower bound on the posterior covariance.
+    """
+
+    def __init__(self, *args, initial_bim=None, adaptive=True, **kwargs):
+        super().__init__(*args, **kwargs)
+        if hasattr(self.model, "fisher_information"):
+            self._fisher = self.model.fisher_information
+        else:
+            # Any jnp-implemented model is differentiable — borrow the
+            # DifferentiableModel machinery unbound (score via jax.jacfwd).
+            from .models.base import DifferentiableModel
+
+            def _fisher(mps, eps):
+                outcomes = self.model.all_outcomes(eps)
+                L = self.model.likelihood(outcomes, mps, eps)
+                sc = DifferentiableModel.score(self.model, outcomes, mps, eps)
+                return jnp.einsum("one,ione,jone->ijne", L, sc, sc)
+
+            self._fisher = _fisher
+        self.adaptive = bool(adaptive)
+        d = self.model.n_modelparams
+        self._current_bim = (
+            jnp.zeros((d, d), jnp.float32)
+            if initial_bim is None
+            else jnp.asarray(initial_bim, jnp.float32)
+        )
+        self._initial_prior_locs = self.state.particle_locations
+        self._initial_prior_log_w = self.state.particle_log_weights
+
+        def bim_increment(locs, log_w, expparams):
+            fi = self._fisher(locs, expparams)  # (D, D, N, E)
+            w = jnp.exp(log_w)
+            return jnp.einsum("n,ijne->ij", w, fi)
+
+        self._jit_bim = jax.jit(bim_increment)
+
+    @property
+    def current_bim(self):
+        return self._current_bim
+
+    @property
+    def current_bcrb(self):
+        return jnp.linalg.inv(self._current_bim)
+
+    def update(self, outcome, expparams, check_for_resample=True):
+        expparams_1 = _as_single_expparams(expparams)
+        if self.adaptive:
+            locs, log_w = (
+                self.state.particle_locations,
+                self.state.particle_log_weights,
+            )
+        else:
+            locs, log_w = self._initial_prior_locs, self._initial_prior_log_w
+        self._current_bim = self._current_bim + self._jit_bim(
+            locs, log_w, expparams_1
+        )
+        return super().update(outcome, expparams, check_for_resample)
+
+
+class MixedApproximateSMCUpdater(SMCUpdater):
+    """Uses a cheap approximate model while the posterior is broad and the
+    exact model once it sharpens.
+
+    Reference: ``smc.py — MixedApproximateSMCUpdater`` [unverified in
+    survey]. The switch criterion here: use ``good_model`` once
+    ESS/N drops below ``mixture_thresh`` for the first time (a sharpening
+    posterior makes likelihood accuracy matter most near convergence).
+    """
+
+    def __init__(self, good_model, approximate_model, n_particles, prior,
+                 mixture_thresh=0.5, **kwargs):
+        self.good_model = good_model
+        self.approximate_model = approximate_model
+        self.mixture_thresh = float(mixture_thresh)
+        self._sharpened = False
+        super().__init__(approximate_model, n_particles, prior, **kwargs)
+
+    def update(self, outcome, expparams, check_for_resample=True):
+        if not self._sharpened and (
+            float(self.n_ess()) < self.mixture_thresh * self.n_particles
+        ):
+            self._sharpened = True
+        self.model = self.good_model if self._sharpened else self.approximate_model
+        return super().update(outcome, expparams, check_for_resample)
 
 
 def _as_single_expparams(expparams):
