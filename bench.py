@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 
-N_PARTICLES = 1_000_000
+N_PARTICLES = 1 << 20  # "1M particles" aligned to TPU tiling
 N_EXP = 50
 TRUE_OMEGA = 0.70710678
 

@@ -34,6 +34,7 @@ from .distributions import (
     UniformDistribution,
 )
 from .models import (
+    AcceleratedPrecessionModel,
     ALEApproximateModel,
     BinomialModel,
     CoinModel,
@@ -105,6 +106,7 @@ __all__ = [
     "GaussianRandomWalkModel", "MLEModel", "ReferencedPoissonModel",
     "RandomizedBenchmarkingModel", "rb",
     "ALEApproximateModel", "binom_est_p", "binom_est_error",
+    "AcceleratedPrecessionModel",
     "simple_est_prec", "simple_est_rb", "load_data_or_txt",
     # engine
     "SMCUpdater", "SMCUpdaterBCRB", "MixedApproximateSMCUpdater",

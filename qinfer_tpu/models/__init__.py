@@ -29,8 +29,10 @@ from .derived import (
 )
 from .rb import RandomizedBenchmarkingModel
 from .ale import ALEApproximateModel, binom_est_error, binom_est_p
+from .accelerated import AcceleratedPrecessionModel
 
 __all__ = [
+    "AcceleratedPrecessionModel",
     "DerivedModel",
     "BinomialModel",
     "DifferentiableBinomialModel",

@@ -17,6 +17,14 @@ from .mesh import (
     shard_episode_keys,
     shard_state,
 )
+from .sharded_smc import (
+    distributed_systematic_pick,
+    global_logsumexp,
+    make_sharded_update_step,
+    sharded_ess,
+    sharded_moments,
+    sharded_sample,
+)
 
 __all__ = [
     "PARTICLE_AXIS",
@@ -26,4 +34,10 @@ __all__ = [
     "shard_state",
     "shard_episode_keys",
     "replicate",
+    "global_logsumexp",
+    "sharded_ess",
+    "sharded_moments",
+    "distributed_systematic_pick",
+    "make_sharded_update_step",
+    "sharded_sample",
 ]

@@ -1,0 +1,266 @@
+"""Explicit-collective sharded SMC step (shard_map over the particle axis).
+
+TPU-native replacement for the reference's cluster fan-out
+(``src/qinfer/parallel.py — DirectViewParallelizedModel``, SURVEY §5.8):
+the particle bank lives sharded across a mesh axis and every global
+quantity is an explicit collective:
+
+- weight normalization / evidence: global logsumexp = pmax + psum;
+- ESS, posterior mean/covariance: psum contractions;
+- Liu–West resampling: *distributed systematic resampling* — each shard
+  computes its particles' global CDF segment boundaries from a K-scalar
+  prefix scan of shard weight sums (no full-bank gather for the math);
+  particle migration then uses one all_gather of the bank (strata → source
+  particles are contiguous ranges, so a ppermute ring is the planned
+  refinement — the all_gather is the correctness-first round-1 choice);
+- posterior sampling (PGH): Gumbel-max over shards via pmax/psum.
+
+The GSPMD path (qinfer_tpu.parallel.mesh + plain jit) is the default; this
+module is for pod-scale runs where collective placement must be explicit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..smc import SMCConfig, SMCState
+from .mesh import PARTICLE_AXIS
+
+__all__ = [
+    "global_logsumexp",
+    "sharded_moments",
+    "sharded_ess",
+    "distributed_systematic_pick",
+    "make_sharded_update_step",
+    "sharded_sample",
+]
+
+
+def global_logsumexp(x, axis_name):
+    """logsumexp across all shards: pmax for the max, psum for the sum."""
+    m_local = jnp.max(x)
+    m = jax.lax.pmax(m_local, axis_name)
+    s = jax.lax.psum(jnp.sum(jnp.exp(x - m)), axis_name)
+    return m + jnp.log(s)
+
+
+def sharded_ess(log_w_shard, axis_name):
+    lse = global_logsumexp(log_w_shard, axis_name)
+    lse2 = global_logsumexp(2.0 * log_w_shard, axis_name)
+    return jnp.exp(-(lse2 - 2.0 * lse))
+
+
+def sharded_moments(log_w_shard, locs_shard, axis_name):
+    """Globally-normalized weighted mean/cov via psum (centered)."""
+    lse = global_logsumexp(log_w_shard, axis_name)
+    w = jnp.exp(log_w_shard - lse)
+    mu = jax.lax.psum(w @ locs_shard, axis_name)
+    centered = locs_shard - mu[None, :]
+    cov = jax.lax.psum(
+        jnp.einsum("i,id,ie->de", w, centered, centered), axis_name
+    )
+    return mu, 0.5 * (cov + cov.T)
+
+
+def distributed_systematic_pick(key, log_w_shard, locs_shard, axis_name):
+    """Systematic-resampled particle draw under sharding.
+
+    Every shard ends with exactly its shard-size worth of globally
+    systematic-resampled particles. The segment boundaries are computed
+    *locally* from the shard-prefix of the global CDF; migration is one
+    all_gather (see module docstring).
+    """
+    n_local = log_w_shard.shape[0]
+    k_shards = jax.lax.axis_size(axis_name)
+    n_global = n_local * k_shards
+    my_k = jax.lax.axis_index(axis_name)
+
+    lse = global_logsumexp(log_w_shard, axis_name)
+    w = jnp.exp(log_w_shard - lse)
+    local_cdf = jnp.cumsum(w)
+    w_total = local_cdf[-1]
+    # Exclusive prefix of shard totals: P_k = Σ_{k'<k} W_{k'}.
+    totals = jax.lax.all_gather(w_total, axis_name)  # (K,)
+    prefix = jnp.concatenate(
+        [jnp.zeros((1,), w.dtype), jnp.cumsum(totals)[:-1]]
+    )[my_k]
+
+    # One shared stratified offset: same sub-key on every shard.
+    u0 = jax.random.uniform(key, ())
+    # Global segment starts of MY particles: t_{j−1} with the previous
+    # shard's last cdf = prefix (locally available — no gather needed).
+    t = jnp.ceil(n_global * (prefix + local_cdf) - u0).astype(jnp.int32)
+    t_prev_last = jnp.ceil(n_global * prefix - u0).astype(jnp.int32)
+    starts_local = jnp.maximum(
+        jnp.concatenate([t_prev_last[None], t[:-1]]), 0
+    )
+
+    # Migration: gather the full (starts, locs) and expand only my strata
+    # window [my_k·n_local, (my_k+1)·n_local).
+    starts_all = jax.lax.all_gather(
+        starts_local, axis_name
+    ).reshape(n_global)
+    starts_all = jax.lax.cummax(starts_all)  # monotonize f32 edge noise
+    locs_all = jax.lax.all_gather(locs_shard, axis_name).reshape(
+        n_global, locs_shard.shape[1]
+    )
+    my_s0 = my_k * n_local
+    rel = starts_all - my_s0
+    particle_ids = jnp.arange(n_global, dtype=jnp.int32)
+    # Scatter-max at clipped starts: sources before my window collapse to
+    # slot 0 where max picks the covering particle; sources past the
+    # window are dropped.
+    z = jnp.zeros((n_local,), jnp.int32).at[
+        jnp.maximum(rel, 0)
+    ].max(particle_ids, mode="drop")
+    idx = jax.lax.cummax(z)
+    return locs_all[idx]
+
+
+def make_sharded_update_step(mesh, model, resampler, config: SMCConfig):
+    """Build a shard_map-ed SMC update step.
+
+    Returns ``step(state, outcome, expparams) -> (state, log_norm)`` with
+    ``state.particle_locations``/``particle_log_weights`` sharded over the
+    ``particles`` mesh axis and all other leaves replicated. Semantics
+    match ``smc.smc_update_step`` (Bayes update → ESS → conditional
+    Liu–West resample) with explicit collectives.
+    """
+    axis = PARTICLE_AXIS
+
+    state_specs = SMCState(
+        particle_locations=P(axis),
+        particle_log_weights=P(axis),
+        key=P(),
+        n_resamples=P(),
+        min_n_ess=P(),
+        log_total_likelihood=P(),
+        just_resampled=P(),
+        n_zero_weight_events=P(),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(state_specs, P(), P()),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+    def step(state: SMCState, outcome, expparams):
+        locs = state.particle_locations
+        log_w = state.particle_log_weights
+        n_local = log_w.shape[0]
+        k_shards = jax.lax.axis_size(axis)
+        n_global = n_local * k_shards
+
+        outcome_arr = jnp.atleast_1d(jnp.asarray(outcome))[:1]
+        log_L = jnp.clip(
+            model.log_likelihood(outcome_arr, locs, expparams)[0, :, 0],
+            -87.0, 0.0,
+        )
+        lw_new = log_w + log_L
+        log_norm = global_logsumexp(lw_new, axis)
+        lw_norm = lw_new - log_norm
+
+        is_zero = log_norm < jnp.log(config.zero_weight_thresh)
+        if config.zero_weight_policy == "reset":
+            uniform = jnp.full_like(lw_norm, -jnp.log(float(n_global)))
+            lw_norm = jnp.where(is_zero, uniform, lw_norm)
+        zero_events = state.n_zero_weight_events + is_zero.astype(jnp.int32)
+
+        ess = sharded_ess(lw_norm, axis)
+        need_resample = ess < config.resample_thresh * n_global
+
+        def do_resample(locs, lw):
+            k_res, k_next = jax.random.split(state.key)
+            mu, cov = sharded_moments(lw, locs, axis)
+            d = locs.shape[1]
+            from ..utils import sqrtm_psd
+
+            a = resampler.a
+            h = resampler._h
+            S = sqrtm_psd((h * h) * (
+                cov + resampler.zero_cov_comp * jnp.eye(d)
+            ))
+            picked = distributed_systematic_pick(k_res, lw, locs, axis)
+            centers = a * picked + (1.0 - a) * mu[None, :]
+            k_local = jax.random.fold_in(k_res, jax.lax.axis_index(axis))
+            k0, kloop = jax.random.split(k_local)
+            draw = lambda k: centers + jax.random.normal(
+                k, centers.shape
+            ) @ S.T
+            new_locs = draw(k0)
+            if resampler.postselect:
+                valid0 = jnp.asarray(model.are_models_valid(new_locs))
+
+                def body(carry):
+                    cur, ok, it, k = carry
+                    kd, kn = jax.random.split(k)
+                    fresh = draw(kd)
+                    f_ok = jnp.asarray(model.are_models_valid(fresh))
+                    cur = jnp.where(((~ok) & f_ok)[:, None], fresh, cur)
+                    return cur, ok | f_ok, it + 1, kn
+
+                def cond(carry):
+                    _, ok, it, _ = carry
+                    # All-shard agreement keeps the while_loop collective-
+                    # free: iterate while ANY shard has invalid particles.
+                    any_bad = jax.lax.psum(
+                        jnp.sum((~ok).astype(jnp.int32)), axis
+                    )
+                    return (any_bad > 0) & (it < resampler.maxiter)
+
+                new_locs, ok, _, _ = jax.lax.while_loop(
+                    cond, body,
+                    (new_locs, valid0, jnp.zeros((), jnp.int32), kloop),
+                )
+                clamped = model.canonicalize(new_locs)
+                new_locs = jnp.where(ok[:, None], new_locs, clamped)
+            uniform = jnp.full((n_local,), -jnp.log(float(n_global)))
+            return new_locs, uniform, k_next
+
+        def no_resample(locs, lw):
+            return locs, lw, state.key
+
+        new_locs, new_lw, new_key = jax.lax.cond(
+            need_resample, do_resample, no_resample, locs, lw_norm
+        )
+        new_state = SMCState(
+            particle_locations=new_locs,
+            particle_log_weights=new_lw,
+            key=new_key,
+            n_resamples=state.n_resamples + need_resample.astype(jnp.int32),
+            min_n_ess=jnp.minimum(state.min_n_ess, ess),
+            log_total_likelihood=state.log_total_likelihood + log_norm,
+            just_resampled=need_resample,
+            n_zero_weight_events=zero_events,
+        )
+        return new_state, log_norm
+
+    return step
+
+
+def sharded_sample(key, log_w_shard, locs_shard, n, axis_name):
+    """Draw n posterior samples under sharding via the Gumbel-max trick:
+    per-draw global argmax of log_w + Gumbel noise (psum-composed)."""
+    lse = global_logsumexp(log_w_shard, axis_name)
+    lw = log_w_shard - lse
+    my_k = jax.lax.axis_index(axis_name)
+
+    def one(k):
+        k = jax.random.fold_in(k, my_k)
+        g = jax.random.gumbel(k, lw.shape)
+        scores = lw + g
+        best = jnp.argmax(scores)
+        best_val = scores[best]
+        gmax = jax.lax.pmax(best_val, axis_name)
+        mine = (best_val == gmax).astype(locs_shard.dtype)
+        return jax.lax.psum(mine * locs_shard[best], axis_name)
+
+    keys = jax.random.split(key, n)
+    return jax.vmap(one)(keys)

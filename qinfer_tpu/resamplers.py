@@ -105,6 +105,13 @@ class LiuWestResampler(Resampler):
     postselect: bool = True
     kernel: Optional[Callable] = None
     use_systematic: bool = True
+    # Pallas expand kernel for the index-draw+pick. Opt-in (None = off):
+    # it beats the XLA scatter/cummax path per-resample (17→11.5ms at 1M
+    # particles, and ~D× better for multi-parameter models since all
+    # columns share one pass), but Mosaic remote-compilation of
+    # scan-wrapped kernels takes minutes on the current axon stack, so it
+    # is not enabled by default. Set True only for long-lived big-N runs.
+    use_expand_kernel: Optional[bool] = None
 
     @property
     def _h(self):
@@ -125,11 +132,18 @@ class LiuWestResampler(Resampler):
         S = sqrtm_psd((h * h) * cov)
 
         k_idx, k_draw = jax.random.split(key)
-        if self.use_systematic:
-            idx = systematic_resample_indices(k_idx, log_w)
+        use_expand = bool(self.use_expand_kernel)
+        if use_expand:
+            # Pallas merge kernel: picks locs[idx] directly with no
+            # gather/scatter; all D columns share one pass.
+            from .ops.resample_expand import systematic_expand
+
+            picked = systematic_expand(k_idx, log_w, locs)
+        elif self.use_systematic:
+            picked = locs[systematic_resample_indices(k_idx, log_w)]
         else:
-            idx = multinomial_resample_indices(k_idx, log_w)
-        centers = self.a * locs[idx] + (1.0 - self.a) * mu[None, :]
+            picked = locs[multinomial_resample_indices(k_idx, log_w)]
+        centers = self.a * picked + (1.0 - self.a) * mu[None, :]
 
         draw_noise = self.kernel if self.kernel is not None else (
             lambda k, shape: jax.random.normal(k, shape)

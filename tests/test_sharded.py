@@ -1,0 +1,183 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh.
+
+SURVEY §5.8: the TPU build's distributed backend. Covers GSPMD sharding of
+the jitted step and the explicit shard_map step with distributed
+systematic resampling.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import qinfer_tpu as qi
+from qinfer_tpu.parallel import (
+    make_particle_mesh,
+    make_sharded_update_step,
+    shard_state,
+    sharded_sample,
+)
+from qinfer_tpu.smc import SMCConfig, init_smc_state, smc_update_step
+
+N_DEV = 8
+N = 64 * N_DEV
+
+
+@pytest.fixture
+def mesh():
+    assert len(jax.devices()) >= N_DEV
+    return make_particle_mesh(N_DEV)
+
+
+def _setup(seed=0):
+    model = qi.SimplePrecessionModel()
+    prior = qi.UniformDistribution([0.0, 1.0])
+    state = init_smc_state(jax.random.PRNGKey(seed), model, N, prior)
+    return model, prior, state
+
+
+def test_gspmd_sharded_step_matches_single_device(mesh):
+    """The same jitted step under GSPMD sharding computes identical weight
+    updates (deterministic given the outcome)."""
+    model, prior, state = _setup()
+    resampler = qi.LiuWestResampler()
+    config = SMCConfig(resample_thresh=-1.0)  # update only (deterministic)
+    ep = {"t": jnp.array([3.0], jnp.float32)}
+
+    st1, ln1 = jax.jit(smc_update_step)(
+        model, resampler, config, state, jnp.int32(1), ep
+    )
+    sharded = shard_state(state, mesh)
+    st2, ln2 = jax.jit(smc_update_step)(
+        model, resampler, config, sharded, jnp.int32(1), ep
+    )
+    np.testing.assert_allclose(float(ln1), float(ln2), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st1.particle_log_weights),
+        np.asarray(st2.particle_log_weights),
+        atol=1e-5,
+    )
+
+
+def test_shard_map_step_update_matches(mesh):
+    """Explicit-collective step ≡ single-device step for the
+    deterministic Bayes-update part."""
+    model, prior, state = _setup(seed=3)
+    resampler = qi.LiuWestResampler()
+    config = SMCConfig(resample_thresh=-1.0)
+    step = make_sharded_update_step(mesh, model, resampler, config)
+    ep = {"t": jnp.array([5.0], jnp.float32)}
+
+    ref_state, ref_ln = jax.jit(smc_update_step)(
+        model, resampler, config, state, jnp.int32(0), ep
+    )
+    sh_state, sh_ln = jax.jit(step)(
+        shard_state(state, mesh), jnp.int32(0), ep
+    )
+    np.testing.assert_allclose(float(ref_ln), float(sh_ln), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ref_state.particle_log_weights),
+        np.asarray(sh_state.particle_log_weights),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(ref_state.min_n_ess), float(sh_state.min_n_ess), rtol=1e-5
+    )
+
+
+def test_shard_map_distributed_resample_moments(mesh):
+    """Force a resample through the sharded step: moments preserved, the
+    resample fires, and weights return to uniform."""
+    model, prior, state = _setup(seed=4)
+    # Skew the weights so moments are non-trivial.
+    skew = jnp.linspace(0.0, 3.0, N)
+    log_w = skew - jax.scipy.special.logsumexp(skew)
+    state = state._replace(particle_log_weights=log_w)
+    resampler = qi.LiuWestResampler()
+    config = SMCConfig(resample_thresh=1.1, zero_weight_policy="reset")
+    step = make_sharded_update_step(mesh, model, resampler, config)
+    ep = {"t": jnp.array([0.5], jnp.float32)}
+
+    from qinfer_tpu.utils import weighted_moments
+
+    # Reference moments: after the (deterministic) weight update.
+    ref_state, _ = jax.jit(smc_update_step)(
+        model, resampler, SMCConfig(resample_thresh=-1.0), state,
+        jnp.int32(0), ep,
+    )
+    mu_ref, cov_ref = weighted_moments(
+        ref_state.particle_log_weights, ref_state.particle_locations
+    )
+
+    sh_state, _ = jax.jit(step)(shard_state(state, mesh), jnp.int32(0), ep)
+    assert int(sh_state.n_resamples) == 1
+    assert bool(sh_state.just_resampled)
+    lw = np.asarray(sh_state.particle_log_weights)
+    np.testing.assert_allclose(lw, -np.log(N), atol=1e-5)
+
+    locs = np.asarray(sh_state.particle_locations)
+    # Liu–West preserves mean/cov up to MC error of N draws.
+    np.testing.assert_allclose(
+        locs.mean(0), np.asarray(mu_ref), atol=4 * float(
+            jnp.sqrt(cov_ref[0, 0] / N)) + 0.01
+    )
+    # All particles valid.
+    assert np.asarray(model.are_models_valid(jnp.asarray(locs))).all()
+
+
+def test_distributed_pick_statistics(mesh):
+    """Distributed systematic pick reproduces the weight distribution."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from qinfer_tpu.parallel.sharded_smc import distributed_systematic_pick
+
+    rng = np.random.default_rng(0)
+    w = rng.random(N)
+    w[::7] *= 10  # spiky
+    w /= w.sum()
+    log_w = jnp.log(jnp.asarray(w, jnp.float32))
+    locs = jnp.arange(N, dtype=jnp.float32)[:, None]  # value = index
+
+    pick = partial(distributed_systematic_pick, axis_name="particles")
+    picked = jax.jit(
+        shard_map(
+            pick,
+            mesh=make_particle_mesh(N_DEV),
+            in_specs=(P(), P("particles"), P("particles")),
+            out_specs=P("particles"),
+            check_vma=False,
+        )
+    )(jax.random.PRNGKey(9), log_w, locs)
+    picked = np.asarray(picked)[:, 0].astype(int)
+    counts = np.bincount(picked, minlength=N)
+    # Systematic resampling: counts within 1 of N·w_j.
+    assert np.all(np.abs(counts - N * w) <= 1.0 + 1e-3)
+
+
+def test_sharded_sample(mesh):
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    w = np.zeros(N)
+    w[10] = 0.75
+    w[100] = 0.25
+    log_w = jnp.log(jnp.asarray(np.maximum(w, 1e-30), jnp.float32))
+    locs = jnp.arange(N, dtype=jnp.float32)[:, None]
+    samp = jax.jit(
+        shard_map(
+            partial(sharded_sample, n=400, axis_name="particles"),
+            mesh=make_particle_mesh(N_DEV),
+            in_specs=(P(), P("particles"), P("particles")),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(jax.random.PRNGKey(1), log_w, locs)
+    vals = np.asarray(samp)[:, 0]
+    assert set(np.unique(vals)) <= {10.0, 100.0}
+    frac = (vals == 10.0).mean()
+    assert abs(frac - 0.75) < 0.1
