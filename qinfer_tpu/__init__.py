@@ -78,6 +78,8 @@ from .expdesign import ExperimentDesigner, OptimizationAlgorithms
 from .finite_difference import FiniteDifference
 from .score import ScoreMixin
 from .clustering import NOISE, particle_clusters
+from . import checkpointing
+from .profiling import ThroughputMeter, annotate, trace
 from .metrics import rescaled_distance_mtx, weighted_pairwise_distances
 from .ipy import IPythonProgressBar
 from .heuristics import PGH, ExpSparseHeuristic, Heuristic
@@ -120,6 +122,7 @@ __all__ = [
     "particle_clusters", "NOISE",
     "rescaled_distance_mtx", "weighted_pairwise_distances",
     "IPythonProgressBar", "tomography",
+    "checkpointing", "ThroughputMeter", "trace", "annotate",
     # harness
     "perf_test", "perf_test_multiple", "run_episodes", "timing",
     # misc

@@ -180,7 +180,36 @@ def smc_update_step(model, resampler, config: SMCConfig, state: SMCState,
         return st._replace(just_resampled=jnp.zeros((), bool))
 
     state = jax.lax.cond(need_resample, do_resample, no_resample, state)
+
+    # Time-dependent models: diffuse the particle cloud after the update
+    # (reference: ``SMCUpdater.update`` applies ``model.update_timestep``
+    # to particle_locations). Statically skipped for static models so the
+    # common path pays nothing.
+    if _is_time_dependent(model):
+        k_ts, k_next = jax.random.split(state.key)
+        new_locs = model.update_timestep(
+            state.particle_locations, expparams, key=k_ts
+        )[:, :, 0]
+        state = state._replace(particle_locations=new_locs, key=k_next)
+
     return state, log_norm
+
+
+def _is_time_dependent(model) -> bool:
+    """True iff the model overrides Simulatable.update_timestep (directly
+    or through a combinator chain)."""
+    from .models.base import Simulatable
+
+    if type(model).update_timestep is not Simulatable.update_timestep:
+        # DerivedModel delegates — check the chain's base.
+        from .models.derived import DerivedModel
+
+        if isinstance(model, DerivedModel) and type(
+            model
+        ).update_timestep is DerivedModel.update_timestep:
+            return _is_time_dependent(model.underlying_model)
+        return True
+    return False
 
 
 def smc_batch_update(model, resampler, config: SMCConfig, state: SMCState,
@@ -525,6 +554,47 @@ class SMCUpdater(ParticleDistribution):
         """−Σ wᵢ log wᵢ. Reference: ``SMCUpdater.est_entropy``."""
         log_w = self.state.particle_log_weights
         return -jnp.sum(jnp.exp(log_w) * log_w)
+
+    # -- cluster estimators (reference: SMCUpdater.est_cluster_*) ----------
+
+    def est_cluster_moments(self, cluster_opts=None):
+        """Per-cluster (weight, mean, cov) via DBSCAN over the cloud.
+
+        Reference: ``smc.py — SMCUpdater.est_cluster_moments``
+        [signature unverified]. Yields (label, w_total, mean, cov).
+        """
+        from .clustering import particle_clusters
+
+        w = np.asarray(self.particle_weights)
+        locs = np.asarray(self.particle_locations)
+        for label, mask in particle_clusters(
+            locs, w, **(cluster_opts or {})
+        ):
+            w_c = w[mask]
+            total = w_c.sum()
+            if total <= 0:
+                continue
+            w_n = w_c / total
+            mu = w_n @ locs[mask]
+            centered = locs[mask] - mu
+            cov = (w_n[:, None] * centered).T @ centered
+            yield label, total, mu, cov
+
+    def est_cluster_metrics(self, cluster_opts=None):
+        """Summary metrics over clusters (count, largest weight, noise
+        weight). Reference: ``SMCUpdater.est_cluster_metrics``."""
+        from .clustering import NOISE
+
+        weights = {}
+        for label, total, _, _ in self.est_cluster_moments(cluster_opts):
+            weights[label] = total
+        return {
+            "n_clusters": len([l for l in weights if l != NOISE]),
+            "largest_cluster_weight": max(
+                [w for l, w in weights.items() if l != NOISE], default=0.0
+            ),
+            "noise_weight": weights.get(NOISE, 0.0),
+        }
 
     # -- experiment design -------------------------------------------------
 
