@@ -64,7 +64,7 @@ from . import models as _models_pkg
 from .models import rb
 from .simple_est import load_data_or_txt, simple_est_prec, simple_est_rb
 from . import tomography
-from .resamplers import LiuWestResampler, Resampler
+from .resamplers import ClusteringResampler, LiuWestResampler, Resampler
 from .smc import (
     MixedApproximateSMCUpdater,
     SMCConfig,
@@ -113,7 +113,8 @@ __all__ = [
     # engine
     "SMCUpdater", "SMCUpdaterBCRB", "MixedApproximateSMCUpdater",
     "SMCState", "SMCConfig", "init_smc_state",
-    "smc_update_step", "LiuWestResampler", "Resampler",
+    "smc_update_step", "LiuWestResampler", "ClusteringResampler",
+    "Resampler",
     # design
     "Heuristic", "PGH", "ExpSparseHeuristic",
     "ExperimentDesigner", "OptimizationAlgorithms",

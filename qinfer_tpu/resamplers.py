@@ -31,7 +31,13 @@ import jax.numpy as jnp
 
 from .utils import normalize_log_weights, sqrtm_psd, weighted_moments
 
-__all__ = ["Resampler", "LiuWestResampler", "systematic_resample_indices", "multinomial_resample_indices"]
+__all__ = [
+    "Resampler",
+    "LiuWestResampler",
+    "ClusteringResampler",
+    "systematic_resample_indices",
+    "multinomial_resample_indices",
+]
 
 
 def systematic_resample_indices(key, log_w, n_draws=None):
@@ -184,3 +190,57 @@ class LiuWestResampler(Resampler):
         # via ResamplerWarning and keeps them; clamping is strictly safer).
         clamped = model.canonicalize(new_locs)
         return jnp.where(ok[:, None], new_locs, clamped)
+
+
+class ClusteringResampler(Resampler):
+    """Resample within DBSCAN clusters so multimodal posteriors keep
+    their modes' local moment structure.
+
+    Reference: ``resamplers.py — ClusteringResampler`` [unverified /
+    possibly removed upstream]. Host-side clustering (sklearn) wrapping a
+    secondary per-cluster resampler — NOT jittable; use only through the
+    stateful ``SMCUpdater.resample()`` path, never inside episode scans.
+    """
+
+    def __init__(self, eps=0.5, min_particles=5, secondary_resampler=None,
+                 weighted=False, quiet=True):
+        self.eps = eps
+        self.min_particles = min_particles
+        self.secondary_resampler = (
+            secondary_resampler
+            if secondary_resampler is not None
+            else LiuWestResampler()
+        )
+        self.weighted = weighted
+        self.quiet = quiet
+
+    def __call__(self, key, model, particle_locations, particle_log_weights):
+        import numpy as np
+
+        from .clustering import NOISE, particle_clusters
+        from .utils import normalize_log_weights
+
+        locs = np.asarray(particle_locations)
+        log_w = np.asarray(
+            normalize_log_weights(particle_log_weights)[0]
+        )
+        w = np.exp(log_w)
+        new_locs = np.array(locs, copy=True)
+        for i, (label, mask) in enumerate(
+            particle_clusters(
+                locs, w, eps=self.eps, min_particles=self.min_particles,
+                weighted=self.weighted, quiet=self.quiet,
+            )
+        ):
+            if label == NOISE:
+                continue  # reference: noise particles are left untouched
+            sub_w = w[mask]
+            sub_log_w = jnp.log(
+                jnp.asarray(sub_w / sub_w.sum(), jnp.float32)
+            )
+            sub_key = jax.random.fold_in(key, i)
+            resampled = self.secondary_resampler(
+                sub_key, model, jnp.asarray(locs[mask]), sub_log_w
+            )
+            new_locs[mask] = np.asarray(resampled)
+        return jnp.asarray(new_locs)

@@ -324,6 +324,60 @@ def compactspace(scale, n):
     return scale * np.arctanh(interior)
 
 
+def uniquify(seq):
+    """Order-preserving deduplication.
+
+    Reference: ``src/qinfer/utils.py — uniquify``.
+    """
+    seen = set()
+    return [x for x in seq if not (x in seen or seen.add(x))]
+
+
+def join_struct_arrays(arrays):
+    """Concatenate structured arrays field-wise into one structured array.
+
+    Reference: ``src/qinfer/utils.py`` struct-array join helper. The TPU
+    build uses pytrees of named arrays natively; these helpers interop
+    with reference-style NumPy record arrays (e.g. perf_test results).
+    """
+    dtype = []
+    for a in arrays:
+        dtype.extend(a.dtype.descr)
+    out = np.empty(arrays[0].shape, dtype=dtype)
+    for a in arrays:
+        for name in a.dtype.names:
+            out[name] = a[name]
+    return out
+
+
+def split_struct_array(array, fields):
+    """Split a structured array into (selected, remaining) by field names.
+
+    Reference: ``src/qinfer/utils.py`` struct-array split helper.
+    """
+    fields = list(fields)
+    rest = [n for n in array.dtype.names if n not in fields]
+
+    def take(names):
+        dtype = [
+            d for d in array.dtype.descr if d[0] in names
+        ]
+        out = np.empty(array.shape, dtype=dtype)
+        for n in names:
+            out[n] = array[n]
+        return out
+
+    return take(fields), take(rest)
+
+
+def pytree_to_expparams(record_array):
+    """NumPy record array → expparams pytree (dict of named arrays)."""
+    return {
+        name: jnp.asarray(np.ascontiguousarray(record_array[name]))
+        for name in record_array.dtype.names
+    }
+
+
 def to_shaped_outcomes(outcomes, dtype=jnp.int32):
     """Canonicalize outcomes to a 1-D device array."""
     arr = jnp.atleast_1d(jnp.asarray(outcomes))
