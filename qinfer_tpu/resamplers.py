@@ -198,9 +198,12 @@ class ClusteringResampler(Resampler):
 
     Reference: ``resamplers.py — ClusteringResampler`` [unverified /
     possibly removed upstream]. Host-side clustering (sklearn) wrapping a
-    secondary per-cluster resampler — NOT jittable; use only through the
-    stateful ``SMCUpdater.resample()`` path, never inside episode scans.
+    secondary per-cluster resampler — NOT jittable. ``host_side = True``
+    makes ``SMCUpdater`` run the ESS check and resampling outside the
+    jitted step (episode scans cannot use it).
     """
+
+    host_side = True
 
     def __init__(self, eps=0.5, min_particles=5, secondary_resampler=None,
                  weighted=False, quiet=True):

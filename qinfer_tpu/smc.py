@@ -451,7 +451,8 @@ class SMCUpdater(ParticleDistribution):
         threshold to −∞ for this call.
         """
         config = self.config
-        if not check_for_resample:
+        host_resampler = getattr(self.resampler, "host_side", False)
+        if not check_for_resample or host_resampler:
             config = SMCConfig(
                 resample_thresh=-1.0,
                 zero_weight_policy=self.config.zero_weight_policy,
@@ -459,9 +460,22 @@ class SMCUpdater(ParticleDistribution):
             )
         expparams = _as_single_expparams(expparams)
         prev_zero = int(self.state.n_zero_weight_events)
-        self.state, log_norm = self._jit_step(
-            self.model, self.resampler, config, self.state, outcome, expparams
+        # Host-side resamplers (e.g. ClusteringResampler) cannot trace
+        # inside the jitted step: run the update with resampling disabled
+        # and do the ESS check + resample eagerly below.
+        step_resampler = (
+            LiuWestResampler() if host_resampler else self.resampler
         )
+        self.state, log_norm = self._jit_step(
+            self.model, step_resampler, config, self.state, outcome, expparams
+        )
+        if (
+            host_resampler
+            and check_for_resample
+            and float(self.n_ess())
+            < self.config.resample_thresh * self._n_particles
+        ):
+            self.resample()
         self._call_count += self._n_particles
         self.data_record.append(
             (np.asarray(outcome), jax.tree_util.tree_map(np.asarray, expparams))
@@ -476,6 +490,16 @@ class SMCUpdater(ParticleDistribution):
         Reference: ``SMCUpdater.batch_update``.
         """
         outcomes = jnp.asarray(outcomes)
+        if getattr(self.resampler, "host_side", False):
+            # Host-side resamplers can't live inside the scan — replay
+            # through per-update host steps instead.
+            for i in range(int(outcomes.shape[0])):
+                self.update(
+                    outcomes[i],
+                    jax.tree_util.tree_map(lambda a: jnp.asarray(a)[i][None],
+                                           expparams),
+                )
+            return self
         prev_zero = int(self.state.n_zero_weight_events)
         self.state, log_norms = self._jit_batch(
             self.model, self.resampler, self.config, self.state,
