@@ -82,7 +82,13 @@ from . import checkpointing
 from .profiling import ThroughputMeter, annotate, trace
 from .metrics import rescaled_distance_mtx, weighted_pairwise_distances
 from .ipy import IPythonProgressBar
-from .heuristics import PGH, ExpSparseHeuristic, Heuristic
+from .heuristics import (
+    EIGHeuristic,
+    ExpSparseHeuristic,
+    Heuristic,
+    PGH,
+    RiskHeuristic,
+)
 from .perf_testing import perf_test, perf_test_multiple, run_episodes, timing
 from . import utils
 
@@ -116,7 +122,8 @@ __all__ = [
     "smc_update_step", "LiuWestResampler", "ClusteringResampler",
     "Resampler",
     # design
-    "Heuristic", "PGH", "ExpSparseHeuristic",
+    "Heuristic", "PGH", "ExpSparseHeuristic", "EIGHeuristic",
+    "RiskHeuristic",
     "ExperimentDesigner", "OptimizationAlgorithms",
     # numerics / analysis
     "FiniteDifference", "ScoreMixin",

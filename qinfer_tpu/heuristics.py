@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from .smc import SMCState
 
-__all__ = ["Heuristic", "ExpSparseHeuristic", "PGH"]
+__all__ = ["Heuristic", "ExpSparseHeuristic", "PGH", "EIGHeuristic",
+           "RiskHeuristic"]
 
 _identity = lambda x: x
 
@@ -131,6 +132,89 @@ class PGH(Heuristic):
             inv_func=inv_func,
             t_func=t_func,
             other_fields=_freeze_fields(other_fields),
+        )
+
+    def propose(self, key, state, step_idx):
+        return self.core.propose(key, state, step_idx)
+
+
+def _freeze_candidates(candidates):
+    """Expparams pytree of (C, …) arrays → hashable nested tuples."""
+    import numpy as np
+
+    return tuple(
+        (name, tuple(map(tuple, np.atleast_2d(np.asarray(arr, np.float32)))))
+        for name, arr in sorted(candidates.items())
+    )
+
+
+def _thaw_candidates(frozen):
+    import numpy as np
+
+    out = {}
+    for name, rows in frozen:
+        arr = jnp.asarray(np.asarray(rows, np.float32))
+        if arr.shape[0] == 1:
+            arr = arr[0]
+        out[name] = arr
+    return out
+
+
+@jax.tree_util.register_static
+@dataclass(frozen=True, eq=False)
+class _UtilityGreedyCore:
+    """Greedy candidate selection by a device-side utility (EIG or −risk).
+
+    TPU-native upgrade with no reference equivalent as a *heuristic*: the
+    reference computes EIG/risk host-side per round; here the whole
+    score-candidates → argmax → emit-experiment step is pure and runs
+    inside jitted episode scans. The candidate set is static (baked into
+    the compiled program as constants).
+    """
+
+    model: object = None
+    candidates: tuple = ()  # frozen expparams pytree
+    use_eig: bool = True
+
+    def propose(self, key, state: SMCState, step_idx):
+        from .smc import bayes_risk_fn, expected_information_gain_fn
+
+        cand = _thaw_candidates(self.candidates)
+        if self.use_eig:
+            score = expected_information_gain_fn(self.model, state, cand)
+        else:
+            score = -bayes_risk_fn(self.model, state, cand, self.model.Q)
+        best = jnp.argmax(score)
+        return jax.tree_util.tree_map(lambda a: a[best][None], cand)
+
+
+class EIGHeuristic(Heuristic):
+    """Pick the candidate experiment with maximal expected information
+    gain, entirely on device (BASELINE config 5 adaptive loop)."""
+
+    def __init__(self, updater=None, model=None, candidates=None):
+        super().__init__(updater)
+        if model is None and updater is not None:
+            model = updater.model
+        self.core = _UtilityGreedyCore(
+            model=model, candidates=_freeze_candidates(candidates),
+            use_eig=True,
+        )
+
+    def propose(self, key, state, step_idx):
+        return self.core.propose(key, state, step_idx)
+
+
+class RiskHeuristic(Heuristic):
+    """Pick the candidate experiment with minimal Bayes risk, on device."""
+
+    def __init__(self, updater=None, model=None, candidates=None):
+        super().__init__(updater)
+        if model is None and updater is not None:
+            model = updater.model
+        self.core = _UtilityGreedyCore(
+            model=model, candidates=_freeze_candidates(candidates),
+            use_eig=False,
         )
 
     def propose(self, key, state, step_idx):

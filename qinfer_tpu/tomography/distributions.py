@@ -245,3 +245,18 @@ class HaarUniform(GinibreDistribution):
 
     def __init__(self, dim=2):
         super().__init__(gell_mann_basis(dim), rank=1)
+
+
+# Priors are static configuration under jit (identity-hashed), so they can
+# ride through jitted APIs (perf_test episode scans etc.) like the
+# dataclass distributions in ..distributions.
+for _cls in (
+    DensityOperatorDistribution,
+    GinibreDistribution,
+    GinibreReditDistribution,
+    BCSZChoiDistribution,
+    GADFLIDistribution,
+    HilbertSchmidtUniform,
+    HaarUniform,
+):
+    jax.tree_util.register_static(_cls)
