@@ -32,7 +32,7 @@ synchronization on the hot path.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Sequence, Union
+from typing import Dict, Sequence, Union
 
 import jax
 import jax.numpy as jnp

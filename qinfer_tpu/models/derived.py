@@ -16,14 +16,14 @@ keeping every method pure/jittable.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..domains import IntegerDomain, MultinomialDomain
-from ..utils import log_binomial_pdf, log_multinomial_pdf, sample_multinomial
-from .base import FiniteOutcomeModel, Model, Simulatable, expparams_field
+from ..utils import log_binomial_pdf, sample_multinomial
+from .base import Model, expparams_field
 
 __all__ = [
     "DerivedModel",

@@ -39,16 +39,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ._exceptions import ApproximationWarning, ResamplerWarning
+from ._exceptions import ApproximationWarning
 from .distributions import Distribution, ParticleDistribution
 from .models.base import _n_exps, expparams_field
 from .resamplers import LiuWestResampler
 from .utils import (
     effective_sample_size,
-    normalize_log_weights,
     particle_covariance_mtx,
     particle_mean,
-    weighted_moments,
 )
 
 __all__ = ["SMCState", "SMCConfig", "SMCUpdater", "smc_update_step", "init_smc_state"]

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..distributions import Distribution
-from .bases import TomographyBasis, gell_mann_basis
+from .bases import gell_mann_basis
 
 __all__ = [
     "DensityOperatorDistribution",
