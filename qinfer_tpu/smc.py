@@ -421,6 +421,7 @@ class SMCUpdater(ParticleDistribution):
     ):
         """Reference: ``SMCUpdater.hypothetical_update``. Returns linear
         weights (O, E, N) [+ norm (O, E, 1)] [+ likelihood (O, N, E)]."""
+        expparams = _coerce_expparams(expparams)
         outcomes = jnp.atleast_1d(jnp.asarray(outcomes))
         log_w_hyp, log_norm = hypothetical_log_update(
             self.model, self.state, outcomes, expparams
@@ -487,6 +488,7 @@ class SMCUpdater(ParticleDistribution):
 
         Reference: ``SMCUpdater.batch_update``.
         """
+        expparams = _coerce_expparams(expparams)
         outcomes = jnp.asarray(outcomes)
         if getattr(self.resampler, "host_side", False):
             # Host-side resamplers can't live inside the scan — replay
@@ -621,12 +623,14 @@ class SMCUpdater(ParticleDistribution):
     # -- experiment design -------------------------------------------------
 
     def bayes_risk(self, expparams, Q=None):
+        expparams = _coerce_expparams(expparams)
         if Q is None:
             Q = getattr(self.model, "Q", None)
         risk = self._jit_risk(self.model, self.state, expparams, Q)
         return risk[0] if risk.shape[0] == 1 else risk
 
     def expected_information_gain(self, expparams):
+        expparams = _coerce_expparams(expparams)
         ig = self._jit_eig(self.model, self.state, expparams)
         return ig[0] if ig.shape[0] == 1 else ig
 
@@ -871,7 +875,12 @@ class MixedApproximateSMCUpdater(SMCUpdater):
 
 
 def _as_single_expparams(expparams):
-    """Canonicalize one experiment's parameters to leading axis E=1."""
+    """Canonicalize one experiment's parameters to leading axis E=1.
+
+    Accepts dicts of arrays, bare arrays, or NumPy record arrays (the
+    reference's native format, converted field-wise).
+    """
+    expparams = _coerce_expparams(expparams)
 
     def fix(a):
         a = jnp.asarray(a)
@@ -880,6 +889,15 @@ def _as_single_expparams(expparams):
         return a
 
     return jax.tree_util.tree_map(fix, expparams)
+
+
+def _coerce_expparams(expparams):
+    """NumPy record arrays → expparams pytrees (reference compat)."""
+    if isinstance(expparams, np.ndarray) and expparams.dtype.names:
+        from .utils import pytree_to_expparams
+
+        return pytree_to_expparams(expparams)
+    return expparams
 
 
 # Re-export for convenience with reference naming.
