@@ -19,6 +19,7 @@ from .mesh import (
 )
 from .sharded_smc import (
     distributed_systematic_pick,
+    distributed_systematic_pick_ring,
     global_logsumexp,
     make_sharded_update_step,
     sharded_ess,
@@ -38,6 +39,7 @@ __all__ = [
     "sharded_ess",
     "sharded_moments",
     "distributed_systematic_pick",
+    "distributed_systematic_pick_ring",
     "make_sharded_update_step",
     "sharded_sample",
 ]

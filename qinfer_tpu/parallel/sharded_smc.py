@@ -10,9 +10,9 @@ quantity is an explicit collective:
 - Liu–West resampling: *distributed systematic resampling* — each shard
   computes its particles' global CDF segment boundaries from a K-scalar
   prefix scan of shard weight sums (no full-bank gather for the math);
-  particle migration then uses one all_gather of the bank (strata → source
-  particles are contiguous ranges, so a ppermute ring is the planned
-  refinement — the all_gather is the correctness-first round-1 choice);
+  particle migration is either one all_gather of the bank (default) or a
+  ppermute ring (``migration='ring'``) that keeps peak memory at
+  O(n_local) — bit-identical results;
 - posterior sampling (PGH): Gumbel-max over shards via pmax/psum.
 
 The GSPMD path (qinfer_tpu.parallel.mesh + plain jit) is the default; this
@@ -36,6 +36,7 @@ __all__ = [
     "sharded_moments",
     "sharded_ess",
     "distributed_systematic_pick",
+    "distributed_systematic_pick_ring",
     "make_sharded_update_step",
     "sharded_sample",
 ]
@@ -122,8 +123,88 @@ def distributed_systematic_pick(key, log_w_shard, locs_shard, axis_name):
     return locs_all[idx]
 
 
-def make_sharded_update_step(mesh, model, resampler, config: SMCConfig):
+def distributed_systematic_pick_ring(key, log_w_shard, locs_shard,
+                                     axis_name):
+    """Ring-migration variant of ``distributed_systematic_pick``: peak
+    memory stays O(n_local) instead of O(n_global).
+
+    Two ppermute ring passes (same total traffic as one all_gather, but
+    never materializing the full bank on any shard):
+
+    1. *Index resolution*: each shard's (sorted) segment-start block
+       circulates the ring; every shard scatter-maxes the visiting block's
+       global particle ids into its own strata window, then one cummax
+       resolves idx[i] = covering particle (global id) per stratum.
+    2. *Value resolution*: location blocks circulate; each shard picks the
+       rows whose idx falls in the visiting block's global range via a
+       local (n_local-sized) gather.
+    """
+    n_local = log_w_shard.shape[0]
+    k_shards = jax.lax.axis_size(axis_name)
+    n_global = n_local * k_shards
+    my_k = jax.lax.axis_index(axis_name)
+
+    lse = global_logsumexp(log_w_shard, axis_name)
+    w = jnp.exp(log_w_shard - lse)
+    local_cdf = jnp.cumsum(w)
+    totals = jax.lax.all_gather(local_cdf[-1], axis_name)  # (K,) scalars
+    prefix = jnp.concatenate(
+        [jnp.zeros((1,), w.dtype), jnp.cumsum(totals)[:-1]]
+    )[my_k]
+
+    u0 = jax.random.uniform(key, ())
+    t = jnp.ceil(n_global * (prefix + local_cdf) - u0).astype(jnp.int32)
+    t_prev_last = jnp.ceil(n_global * prefix - u0).astype(jnp.int32)
+    starts_local = jnp.maximum(
+        jnp.concatenate([t_prev_last[None], t[:-1]]), 0
+    )
+
+    perm = [(i, (i + 1) % k_shards) for i in range(k_shards)]
+    my_s0 = my_k * n_local
+    local_ids = jnp.arange(n_local, dtype=jnp.int32)
+
+    # Phase 1: resolve covering-particle global ids for my strata window.
+    def idx_round(r, carry):
+        z, blk = carry
+        src = (my_k - r) % k_shards
+        gids = src * n_local + local_ids
+        rel = blk - my_s0
+        # Sources past my window → OOB drop; before it → slot 0 (max wins).
+        pos = jnp.where(rel < n_local, jnp.maximum(rel, 0), n_local)
+        z = z.at[pos].max(gids, mode="drop")
+        blk = jax.lax.ppermute(blk, axis_name, perm)
+        return z, blk
+
+    z0 = jnp.zeros((n_local,), jnp.int32)
+    z, _ = jax.lax.fori_loop(
+        0, k_shards, idx_round, (z0, starts_local)
+    )
+    idx = jax.lax.cummax(z)  # (n_local,) global particle ids
+
+    # Phase 2: fetch values for idx from their owner shards.
+    def val_round(r, carry):
+        out, blk = carry
+        src = (my_k - r) % k_shards
+        rel = idx - src * n_local
+        mine = (rel >= 0) & (rel < n_local)
+        picked = blk[jnp.clip(rel, 0, n_local - 1)]
+        out = jnp.where(mine[:, None], picked, out)
+        blk = jax.lax.ppermute(blk, axis_name, perm)
+        return out, blk
+
+    out0 = jnp.zeros_like(locs_shard)
+    out, _ = jax.lax.fori_loop(
+        0, k_shards, val_round, (out0, locs_shard)
+    )
+    return out
+
+
+def make_sharded_update_step(mesh, model, resampler, config: SMCConfig,
+                             migration="all_gather"):
     """Build a shard_map-ed SMC update step.
+
+    ``migration``: 'all_gather' (default) or 'ring' (O(n_local) peak
+    memory via ppermute rounds — use at pod scale).
 
     Returns ``step(state, outcome, expparams) -> (state, log_norm)`` with
     ``state.particle_locations``/``particle_log_weights`` sharded over the
@@ -187,7 +268,12 @@ def make_sharded_update_step(mesh, model, resampler, config: SMCConfig):
             S = sqrtm_psd((h * h) * (
                 cov + resampler.zero_cov_comp * jnp.eye(d)
             ))
-            picked = distributed_systematic_pick(k_res, lw, locs, axis)
+            pick_fn = (
+                distributed_systematic_pick_ring
+                if migration == "ring"
+                else distributed_systematic_pick
+            )
+            picked = pick_fn(k_res, lw, locs, axis)
             centers = a * picked + (1.0 - a) * mu[None, :]
             k_local = jax.random.fold_in(k_res, jax.lax.axis_index(axis))
             k0, kloop = jax.random.split(k_local)

@@ -181,3 +181,58 @@ def test_sharded_sample(mesh):
     assert set(np.unique(vals)) <= {10.0, 100.0}
     frac = (vals == 10.0).mean()
     assert abs(frac - 0.75) < 0.1
+
+
+def test_ring_migration_matches_all_gather(mesh):
+    """Ring ppermute migration produces exactly the all_gather result."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from qinfer_tpu.parallel.sharded_smc import (
+        distributed_systematic_pick,
+        distributed_systematic_pick_ring,
+    )
+
+    rng = np.random.default_rng(3)
+    w = rng.random(N) ** 2
+    w /= w.sum()
+    log_w = jnp.log(jnp.asarray(w, jnp.float32))
+    locs = jnp.asarray(rng.standard_normal((N, 2)), jnp.float32)
+    key = jax.random.PRNGKey(17)
+
+    def run(fn):
+        return jax.jit(
+            shard_map(
+                partial(fn, axis_name="particles"),
+                mesh=make_particle_mesh(N_DEV),
+                in_specs=(P(), P("particles"), P("particles")),
+                out_specs=P("particles"),
+                check_vma=False,
+            )
+        )(key, log_w, locs)
+
+    a = np.asarray(run(distributed_systematic_pick))
+    b = np.asarray(run(distributed_systematic_pick_ring))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ring_migration_in_step(mesh):
+    """Full sharded step with migration='ring' fires and preserves
+    moments like the all_gather variant."""
+    model, prior, state = _setup(seed=9)
+    skew = jnp.linspace(0.0, 4.0, N)
+    state = state._replace(
+        particle_log_weights=skew - jax.scipy.special.logsumexp(skew)
+    )
+    resampler = qi.LiuWestResampler()
+    config = SMCConfig(resample_thresh=1.1, zero_weight_policy="reset")
+    step = make_sharded_update_step(
+        mesh, model, resampler, config, migration="ring"
+    )
+    ep = {"t": jnp.array([0.7], jnp.float32)}
+    sh_state, _ = jax.jit(step)(shard_state(state, mesh), jnp.int32(1), ep)
+    assert int(sh_state.n_resamples) == 1
+    locs = np.asarray(sh_state.particle_locations)
+    assert np.asarray(model.are_models_valid(jnp.asarray(locs))).all()
