@@ -136,8 +136,15 @@ def smc_update_step(model, resampler, config: SMCConfig, state: SMCState,
     )[0, :, 0]  # (N,)
     log_L = jnp.clip(log_L, _LOG_TINY, 0.0)
     log_w_new = state.particle_log_weights + log_L
-    log_norm = jax.scipy.special.logsumexp(log_w_new)
+    # One shared max feeds both reductions; ESS = s1²/s2 comes out of the
+    # same pass as the evidence, avoiding a second normalized sweep.
+    m = jnp.max(log_w_new)
+    shifted = jnp.exp(log_w_new - m)
+    s1 = jnp.sum(shifted)
+    s2 = jnp.sum(shifted * shifted)
+    log_norm = m + jnp.log(s1)
     log_w_norm = log_w_new - log_norm
+    ess = s1 * s1 / s2
 
     # Zero-weight (total weight collapse) handling — SURVEY §5.3.
     is_zero = log_norm < jnp.log(config.zero_weight_thresh)
@@ -145,9 +152,8 @@ def smc_update_step(model, resampler, config: SMCConfig, state: SMCState,
         n = state.particle_log_weights.shape[0]
         uniform = jnp.full_like(log_w_norm, -jnp.log(float(n)))
         log_w_norm = jnp.where(is_zero, uniform, log_w_norm)
+        ess = jnp.where(is_zero, jnp.float32(n), ess)
     zero_events = state.n_zero_weight_events + is_zero.astype(jnp.int32)
-
-    ess = effective_sample_size(log_w_norm)
     state = state._replace(
         particle_log_weights=log_w_norm,
         log_total_likelihood=state.log_total_likelihood + log_norm,
