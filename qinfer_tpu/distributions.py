@@ -617,7 +617,9 @@ class ParticleDistribution(Distribution):
             cov = cov / jnp.outer(std, std)
         return cov
 
+    @property
     def n_ess(self):
+        """ESS = 1/Σwᵢ² (a property, as in the reference)."""
         from .utils import effective_sample_size
 
         return effective_sample_size(self.particle_log_weights)

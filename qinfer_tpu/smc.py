@@ -399,7 +399,9 @@ class SMCUpdater(ParticleDistribution):
     def data_record_array(self):
         return np.asarray(self.data_record)
 
+    @property
     def n_ess(self):
+        """ESS = 1/Σwᵢ². Reference: ``SMCUpdater.n_ess`` (property)."""
         return effective_sample_size(self.state.particle_log_weights)
 
     # -- lifecycle ---------------------------------------------------------
@@ -477,7 +479,7 @@ class SMCUpdater(ParticleDistribution):
         if (
             host_resampler
             and check_for_resample
-            and float(self.n_ess())
+            and float(self.n_ess)
             < self.config.resample_thresh * self._n_particles
         ):
             self.resample()
@@ -746,6 +748,49 @@ class SMCUpdater(ParticleDistribution):
             plt.axvline(np.asarray(true_model).flatten()[idx_param], ls="--")
         return line
 
+    def posterior_mesh(self, idx_param1=0, idx_param2=1, res1=100, res2=100,
+                       smoothing=0.01):
+        """2-D weighted-KDE mesh over two parameters.
+
+        Reference: ``SMCUpdater.posterior_mesh``. Returns (mesh1, mesh2,
+        density) suitable for ``plt.contour``.
+        """
+        locs = np.asarray(self.particle_locations)
+        w = np.asarray(self.particle_weights)
+        x, y = locs[:, idx_param1], locs[:, idx_param2]
+        xs = np.linspace(x.min(), x.max() + 1e-9, res1)
+        ys = np.linspace(y.min(), y.max() + 1e-9, res2)
+        mx, my = np.meshgrid(xs, ys)
+        sx = smoothing * (x.max() - x.min() + 1e-9)
+        sy = smoothing * (y.max() - y.min() + 1e-9)
+        # Weighted Gaussian KDE (vectorized; res1·res2 × N can be chunked
+        # if needed — this runs per plotting call, not per step).
+        z = np.zeros_like(mx)
+        chunk = 4096
+        for i in range(0, len(x), chunk):
+            dx = (mx[..., None] - x[None, None, i:i + chunk]) / sx
+            dy = (my[..., None] - y[None, None, i:i + chunk]) / sy
+            z += np.sum(
+                w[None, None, i:i + chunk]
+                * np.exp(-0.5 * (dx * dx + dy * dy)),
+                axis=-1,
+            )
+        z /= 2 * np.pi * sx * sy
+        return mx, my, z
+
+    def plot_posterior_contour(self, idx_param1=0, idx_param2=1, res1=100,
+                               res2=100, smoothing=0.01):
+        """Reference: ``SMCUpdater.plot_posterior_contour``."""
+        import matplotlib.pyplot as plt
+
+        mx, my, z = self.posterior_mesh(
+            idx_param1, idx_param2, res1, res2, smoothing
+        )
+        cs = plt.contour(mx, my, z)
+        plt.xlabel(str(self.model.modelparam_names[idx_param1]))
+        plt.ylabel(str(self.model.modelparam_names[idx_param2]))
+        return cs
+
     def plot_covariance(self, corr=False, param_slice=None, tick_labels=None,
                         tick_params=None):
         """Reference: ``SMCUpdater.plot_covariance``."""
@@ -873,7 +918,7 @@ class MixedApproximateSMCUpdater(SMCUpdater):
 
     def update(self, outcome, expparams, check_for_resample=True):
         if not self._sharpened and (
-            float(self.n_ess()) < self.mixture_thresh * self.n_particles
+            float(self.n_ess) < self.mixture_thresh * self.n_particles
         ):
             self._sharpened = True
         self.model = self.good_model if self._sharpened else self.approximate_model

@@ -152,7 +152,7 @@ def test_particle_distribution(key):
     np.testing.assert_allclose(float(d.est_mean()[0]), 0.75, atol=1e-5)
     s = np.asarray(d.sample(key, 10000))
     np.testing.assert_allclose(s.mean(), 0.75, atol=0.02)
-    np.testing.assert_allclose(float(d.n_ess()), 1.6, atol=1e-3)
+    np.testing.assert_allclose(float(d.n_ess), 1.6, atol=1e-3)
 
 
 def test_sampling_is_reproducible(key):

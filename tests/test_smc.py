@@ -36,7 +36,7 @@ def test_coin_beta_conjugate(key):
     est = float(u.est_mean()[0])
     var = float(u.est_covariance_mtx()[0, 0])
     # Monte-Carlo tolerance: a few sigma of the SMC estimator's own error.
-    assert abs(est - post_mean) < 5 * np.sqrt(post_var / u.n_ess())
+    assert abs(est - post_mean) < 5 * np.sqrt(post_var / u.n_ess)
     np.testing.assert_allclose(var, post_var, rtol=0.2)
 
 
@@ -84,7 +84,7 @@ def test_gaussian_conjugate(key):
 
     est = float(u.est_mean()[0])
     var = float(u.est_covariance_mtx()[0, 0])
-    assert abs(est - post_mean) < 5 * np.sqrt(post_var / u.n_ess())
+    assert abs(est - post_mean) < 5 * np.sqrt(post_var / u.n_ess)
     np.testing.assert_allclose(var, post_var, rtol=0.25)
 
 
@@ -228,7 +228,7 @@ def test_zero_weight_policies():
         u.update(jnp.int32(0), ep)
     u2 = qi.SMCUpdater(model, 100, prior, zero_weight_policy="reset")
     u2.update(jnp.int32(0), ep)  # no raise; weights reset to uniform
-    np.testing.assert_allclose(float(u2.n_ess()), 100.0, rtol=0.01)
+    np.testing.assert_allclose(float(u2.n_ess), 100.0, rtol=0.01)
 
 
 def test_credible_regions():
@@ -265,3 +265,35 @@ def test_state_checkpoint_roundtrip(tmp_path):
     )
     # Resumed updater continues updating.
     u2.update(jnp.int32(1), {"t": jnp.array([2.0], jnp.float32)})
+
+
+def test_long_record_scan():
+    """500-experiment record replays as one scan without drift/NaN."""
+    model = qi.SimplePrecessionModel()
+    prior = qi.UniformDistribution([0.0, 1.0])
+    rng = np.random.default_rng(1)
+    ts = np.minimum((9 / 8) ** (np.arange(500) % 60), 1e3).astype(np.float32)
+    p0 = np.cos(0.5 * 0.81 * ts) ** 2
+    outcomes = (rng.random(500) >= p0).astype(np.int32)
+    u = qi.SMCUpdater(model, 2000, prior, seed=0,
+                      zero_weight_policy="reset")
+    u.batch_update(jnp.asarray(outcomes), {"t": jnp.asarray(ts)})
+    est = float(u.est_mean()[0])
+    assert np.isfinite(est) and abs(est - 0.81) < 0.02
+    assert len(u.normalization_record) == 500
+    assert np.isfinite(u.log_total_likelihood)
+    assert u.resample_count > 3
+
+
+def test_posterior_mesh_and_contour():
+    model = qi.MultiCosModel(n_terms=2)
+    prior = qi.UniformDistribution([[0.0, 1.0], [0.0, 1.0]])
+    u = qi.SMCUpdater(model, 1500, prior, seed=0)
+    mx, my, z = u.posterior_mesh(res1=40, res2=30)
+    assert mx.shape == (30, 40) and z.shape == (30, 40)
+    assert np.isfinite(z).all() and z.max() > 0
+    import matplotlib
+
+    matplotlib.use("Agg")
+    cs = u.plot_posterior_contour(res1=30, res2=30)
+    assert cs is not None
