@@ -242,7 +242,7 @@ def make_sharded_update_step(mesh, model, resampler, config: SMCConfig,
         outcome_arr = jnp.atleast_1d(jnp.asarray(outcome))[:1]
         log_L = jnp.clip(
             model.log_likelihood(outcome_arr, locs, expparams)[0, :, 0],
-            -87.0, 0.0,
+            -87.0,  # lower only — continuous densities may exceed 1
         )
         lw_new = log_w + log_L
         log_norm = global_logsumexp(lw_new, axis)

@@ -115,7 +115,10 @@ def hypothetical_log_update(model, state: SMCState, outcomes, expparams):
     log_L = model.log_likelihood(
         outcomes, state.particle_locations, expparams
     )  # (O, N, E)
-    log_L = jnp.clip(log_L, _LOG_TINY, 0.0)
+    # Lower clip only: continuous-outcome models are log-*densities* and
+    # may legitimately exceed 0 (an upper clip at 0 would corrupt their
+    # evidence); −inf from impossible outcomes is floored for f32.
+    log_L = jnp.clip(log_L, _LOG_TINY)
     log_w_hyp = state.particle_log_weights[None, :, None] + log_L  # (O, N, E)
     log_norm = jax.scipy.special.logsumexp(log_w_hyp, axis=1)  # (O, E)
     log_w_hyp = log_w_hyp - log_norm[:, None, :]
@@ -134,7 +137,7 @@ def smc_update_step(model, resampler, config: SMCConfig, state: SMCState,
     log_L = model.log_likelihood(
         outcome_arr, state.particle_locations, expparams
     )[0, :, 0]  # (N,)
-    log_L = jnp.clip(log_L, _LOG_TINY, 0.0)
+    log_L = jnp.clip(log_L, _LOG_TINY)  # lower only — densities may be > 1
     log_w_new = state.particle_log_weights + log_L
     # One shared max feeds both reductions; ESS = s1²/s2 comes out of the
     # same pass as the evidence, avoiding a second normalized sweep.

@@ -297,3 +297,49 @@ def test_posterior_mesh_and_contour():
     matplotlib.use("Agg")
     cs = u.plot_posterior_contour(res1=30, res2=30)
     assert cs is not None
+
+
+def test_sharp_continuous_density_not_clipped():
+    """Continuous-outcome models with log-density > 0 (density > 1) must
+    not have their evidence clipped (regression: upper clip at 0)."""
+    sigma2 = 0.001  # density peak ≈ 12.6 ≫ 1
+
+    @jax.tree_util.register_static
+    class SharpGaussian(qi.Model):
+        @property
+        def n_modelparams(self):
+            return 1
+
+        def n_outcomes(self, expparams=None):
+            return 1
+
+        def are_models_valid(self, modelparams):
+            return jnp.ones(modelparams.shape[0], bool)
+
+        def log_likelihood(self, outcomes, modelparams, expparams):
+            x = jnp.asarray(outcomes, jnp.float32).reshape(-1)
+            mu = modelparams[:, 0]
+            ll = (
+                -0.5 * (x[:, None] - mu[None, :]) ** 2 / sigma2
+                - 0.5 * jnp.log(2 * jnp.pi * sigma2)
+            )
+            return ll[:, :, None]
+
+        def simulate_experiment(self, key, modelparams, expparams, repeat=1):
+            raise NotImplementedError
+
+    model = SharpGaussian()
+    prior = qi.NormalDistribution(mean=0.0, var=1.0)
+    u = qi.SMCUpdater(model, 8000, prior, seed=0)
+    rng = np.random.default_rng(3)
+    data = 0.3 + np.sqrt(sigma2) * rng.standard_normal(5)
+    for x in data:
+        u.update(jnp.float32(x), {"d": jnp.array([0.0], jnp.float32)})
+    # Evidence: with density ≫ 1 near truth the log-evidence is positive
+    # for later updates — verify it isn't pinned at ≤ 0.
+    assert max(np.log(u.normalization_record[1:])) > 0.5
+    post_var = 1 / (1 / 1.0 + len(data) / sigma2)
+    post_mean = post_var * data.sum() / sigma2
+    assert abs(float(u.est_mean()[0]) - post_mean) < 6 * np.sqrt(
+        post_var / u.n_ess
+    ) + 1e-3
