@@ -8,11 +8,12 @@ Design (not a port): the resampler is a pure function
 ``(key, model, locs, log_w) -> new_locs`` that runs entirely on device
 inside the jitted SMC step:
 
-- index draw: *systematic resampling* (single uniform offset + cumsum +
-  ``searchsorted``) instead of the reference's multinomial
-  ``np.random.choice`` — same marginal distribution over counts with
-  strictly lower variance (PAPERS.md: variance reduction of resampling,
-  arXiv:2309.08620) and a TPU-friendly memory pattern (one sorted gather).
+- index draw: *systematic resampling* instead of the reference's
+  multinomial ``np.random.choice`` — same marginal distribution over
+  counts with strictly lower variance (PAPERS.md: variance reduction of
+  resampling, arXiv:2309.08620). The inverse-CDF pick is computed without
+  ``searchsorted`` or full-width gathers (``systematic_pick_blocked``;
+  measured table in doc/guide_performance.md).
 - Liu–West shrinkage: new = a·x[idx] + (1−a)·μ + h·Σ^{1/2}·ε preserves the
   first two posterior moments exactly (h² = 1 − a²).
 - postselection: the reference's unbounded per-particle rejection loop
@@ -111,15 +112,18 @@ def systematic_pick_blocked(key, log_w, values, tile=1024):
     starts = jax.lax.cummax(starts)
     covered = t > starts  # c_j > 0
 
-    # Compaction positions (unique among covered; OOB drops the rest).
+    # Compaction positions. unique_indices promises uniqueness over ALL
+    # positions (even dropped ones), so uncovered particles get distinct
+    # out-of-bounds slots n+i rather than a shared sentinel.
+    arange_n = jnp.arange(n, dtype=jnp.int32)
     cum_cov = jnp.cumsum(covered.astype(jnp.int32))
-    pos = jnp.where(covered, cum_cov - 1, n)
+    pos = jnp.where(covered, cum_cov - 1, n + arange_n)
 
     # Compacted covering index per stratum: ones at covered starts
     # (unique by strict monotonicity), then cumsum − 1.
     ones_at = (
         jnp.zeros((n,), jnp.int32)
-        .at[jnp.where(covered, starts, n)]
+        .at[jnp.where(covered, starts, n + arange_n)]
         .set(1, mode="drop", unique_indices=True)
     )
     idxc = jnp.cumsum(ones_at) - 1  # (n,), steps of ≤1 per stratum
