@@ -239,7 +239,8 @@ def smc_batch_update(model, resampler, config: SMCConfig, state: SMCState,
     return jax.lax.scan(step, state, (jnp.asarray(outcomes), ep_tree))
 
 
-def bayes_risk_fn(model, state: SMCState, expparams, Q=None):
+def bayes_risk_fn(model, state: SMCState, expparams, Q=None,
+                  outcomes=None):
     """Expected posterior quadratic loss per candidate experiment: (E,).
 
     risk(e) = Σ_o Pr(o|e) · tr[Q · Cov_post(o, e)]
@@ -247,8 +248,13 @@ def bayes_risk_fn(model, state: SMCState, expparams, Q=None):
     Reference: ``smc.py — SMCUpdater.bayes_risk`` (call stack SURVEY §3.3).
     Fully batched over outcomes × candidates; the second-moment contraction
     is an einsum that XLA maps onto the MXU.
+
+    ``outcomes``: pass pre-enumerated outcomes when expparams are traced
+    (models with data-dependent outcome counts, e.g. BinomialModel,
+    enumerate them host-side).
     """
-    outcomes = model.all_outcomes(expparams)
+    if outcomes is None:
+        outcomes = model.all_outcomes(expparams)
     log_w_hyp, log_norm = hypothetical_log_update(model, state, outcomes, expparams)
     w_hyp = jnp.exp(log_w_hyp)  # (O, E, N)
     locs = state.particle_locations  # (N, D)
@@ -268,7 +274,8 @@ def bayes_risk_fn(model, state: SMCState, expparams, Q=None):
     return jnp.sum(pr_o * tr_qcov, axis=0)
 
 
-def expected_information_gain_fn(model, state: SMCState, expparams):
+def expected_information_gain_fn(model, state: SMCState, expparams,
+                                 outcomes=None):
     """Mutual information I(outcome; params | e) per candidate: (E,).
 
     IG(e) = H[Σ_n w_n L(o|n,e)] − Σ_n w_n H[L(·|n,e)]
@@ -277,7 +284,8 @@ def expected_information_gain_fn(model, state: SMCState, expparams):
     hypothetical machinery; this entropy form is algebraically identical
     and avoids materializing posterior weight tensors twice).
     """
-    outcomes = model.all_outcomes(expparams)
+    if outcomes is None:
+        outcomes = model.all_outcomes(expparams)
     log_L = jnp.clip(
         model.log_likelihood(outcomes, state.particle_locations, expparams),
         _LOG_TINY,
@@ -637,12 +645,17 @@ class SMCUpdater(ParticleDistribution):
         expparams = _coerce_expparams(expparams)
         if Q is None:
             Q = getattr(self.model, "Q", None)
-        risk = self._jit_risk(self.model, self.state, expparams, Q)
+        # Outcome enumeration happens host-side (concrete expparams) so
+        # models with data-dependent outcome counts (BinomialModel) work
+        # under the jitted risk computation.
+        outcomes = self.model.all_outcomes(expparams)
+        risk = self._jit_risk(self.model, self.state, expparams, Q, outcomes)
         return risk[0] if risk.shape[0] == 1 else risk
 
     def expected_information_gain(self, expparams):
         expparams = _coerce_expparams(expparams)
-        ig = self._jit_eig(self.model, self.state, expparams)
+        outcomes = self.model.all_outcomes(expparams)
+        ig = self._jit_eig(self.model, self.state, expparams, outcomes)
         return ig[0] if ig.shape[0] == 1 else ig
 
     # -- credible regions (host-side geometry; SURVEY §2.19/§5.5) ----------

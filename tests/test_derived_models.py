@@ -228,3 +228,20 @@ def test_model_chain():
     assert binom.base_model is base
     assert binom.underlying_model is base
     assert base in binom.model_chain
+
+
+def test_binomial_model_experiment_design():
+    """bayes_risk/EIG work for data-dependent outcome counts (the outcome
+    enumeration happens host-side, regression for jit tracer leak)."""
+    model = qi.BinomialModel(qi.SimplePrecessionModel())
+    prior = qi.UniformDistribution([0.0, 1.0])
+    u = qi.SMCUpdater(model, 300, prior, seed=0)
+    eps = {"t": jnp.array([1.0, 5.0], jnp.float32),
+           "n_meas": jnp.array([10.0, 10.0], jnp.float32)}
+    risk = np.asarray(u.bayes_risk(eps))
+    ig = np.asarray(u.expected_information_gain(eps))
+    assert risk.shape == (2,) and np.isfinite(risk).all() and (risk > 0).all()
+    assert ig.shape == (2,) and np.isfinite(ig).all() and (ig >= 0).all()
+    # Longer evolution at t=5 distinguishes frequencies better from a
+    # uniform prior start: more informative, lower risk.
+    assert ig[1] > ig[0]
