@@ -55,11 +55,12 @@ class ExperimentDesigner:
 
         model = updater.model
 
-        def objective_core(state, field_value, ep_rest, field, cost_scale_k,
-                           cost_mult):
+        def objective_core(state, field_value, ep_rest, outcomes, field,
+                           cost_scale_k, cost_mult):
             ep = dict(ep_rest)
             ep[field] = field_value.reshape(1)
-            risk = bayes_risk_fn(model, state, ep, model.Q)[0]
+            risk = bayes_risk_fn(model, state, ep, model.Q,
+                                 outcomes=outcomes)[0]
             cost = model.experiment_cost(ep)[0]
             if cost_mult:
                 return risk * (1.0 + cost_scale_k * (cost - 1.0))
@@ -111,11 +112,14 @@ class ExperimentDesigner:
         state = self._updater.state
         ep_rest = {k: v for k, v in ep_guess.items() if k != field}
         x0 = np.asarray(ep_guess[field], dtype=np.float64).reshape(1)
+        # Outcome enumeration host-side (data-dependent outcome counts,
+        # e.g. BinomialModel, cannot enumerate from traced expparams).
+        outcomes = self._updater.model.all_outcomes(ep_guess)
 
         def f(x):
             val, grad = self._value_and_grad(
-                state, jnp.asarray(x, jnp.float32), ep_rest, field,
-                float(cost_scale_k), bool(cost_mult),
+                state, jnp.asarray(x, jnp.float32), ep_rest, outcomes,
+                field, float(cost_scale_k), bool(cost_mult),
             )
             return float(val), np.asarray(grad, dtype=np.float64)
 

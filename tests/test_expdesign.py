@@ -130,3 +130,25 @@ def test_progressbar_fallback():
     bar.update(5)
     bar.finished()
     assert bar._value == 10.0
+
+
+def test_designer_with_binomial_model():
+    """ExperimentDesigner over a data-dependent-outcome model (regression:
+    outcome enumeration from traced expparams)."""
+    model = qi.BinomialModel(qi.SimplePrecessionModel())
+    prior = qi.UniformDistribution([0.0, 1.0])
+    u = qi.SMCUpdater(model, 500, prior, seed=0)
+    for k in range(8):
+        ep = {"t": jnp.array([(9 / 8) ** k], jnp.float32),
+              "n_meas": jnp.array([15.0], jnp.float32)}
+        out = model.simulate_experiment(
+            jax.random.PRNGKey(k), jnp.array([[0.5]]), ep
+        )[0, 0, 0]
+        u.update(out, ep)
+    designer = qi.ExperimentDesigner(u)
+    guess = {"t": jnp.array([2.0], jnp.float32),
+             "n_meas": jnp.array([15.0], jnp.float32)}
+    designed = designer.design_expparams_field(
+        guess, "t", cost_scale_k=0.0, maxiter=10
+    )
+    assert float(u.bayes_risk(designed)) <= float(u.bayes_risk(guess)) + 1e-9
