@@ -860,20 +860,17 @@ class SMCUpdaterBCRB(SMCUpdater):
 
     def __init__(self, *args, initial_bim=None, adaptive=True, **kwargs):
         super().__init__(*args, **kwargs)
-        if hasattr(self.model, "fisher_information"):
-            self._fisher = self.model.fisher_information
-        else:
-            # Any jnp-implemented model is differentiable — borrow the
-            # DifferentiableModel machinery unbound (score via jax.jacfwd).
-            from .models.base import DifferentiableModel
+        # Outcome enumeration happens host-side (data-dependent outcome
+        # counts can't enumerate from traced expparams); the jitted
+        # increment receives them as an argument.
+        from .models.base import DifferentiableModel
 
-            def _fisher(mps, eps):
-                outcomes = self.model.all_outcomes(eps)
-                L = self.model.likelihood(outcomes, mps, eps)
-                sc = DifferentiableModel.score(self.model, outcomes, mps, eps)
-                return jnp.einsum("one,ione,jone->ijne", L, sc, sc)
+        def _fisher(mps, eps, outcomes):
+            L = self.model.likelihood(outcomes, mps, eps)
+            sc = DifferentiableModel.score(self.model, outcomes, mps, eps)
+            return jnp.einsum("one,ione,jone->ijne", L, sc, sc)
 
-            self._fisher = _fisher
+        self._fisher = _fisher
         self.adaptive = bool(adaptive)
         d = self.model.n_modelparams
         self._current_bim = (
@@ -884,8 +881,8 @@ class SMCUpdaterBCRB(SMCUpdater):
         self._initial_prior_locs = self.state.particle_locations
         self._initial_prior_log_w = self.state.particle_log_weights
 
-        def bim_increment(locs, log_w, expparams):
-            fi = self._fisher(locs, expparams)  # (D, D, N, E)
+        def bim_increment(locs, log_w, expparams, outcomes):
+            fi = self._fisher(locs, expparams, outcomes)  # (D, D, N, E)
             w = jnp.exp(log_w)
             return jnp.einsum("n,ijne->ij", w, fi)
 
@@ -908,8 +905,9 @@ class SMCUpdaterBCRB(SMCUpdater):
             )
         else:
             locs, log_w = self._initial_prior_locs, self._initial_prior_log_w
+        outcomes = self.model.all_outcomes(expparams_1)
         self._current_bim = self._current_bim + self._jit_bim(
-            locs, log_w, expparams_1
+            locs, log_w, expparams_1, outcomes
         )
         return super().update(outcome, expparams, check_for_resample)
 

@@ -152,3 +152,20 @@ def test_designer_with_binomial_model():
         guess, "t", cost_scale_k=0.0, maxiter=10
     )
     assert float(u.bayes_risk(designed)) <= float(u.bayes_risk(guess)) + 1e-9
+
+
+def test_bcrb_with_binomial_model():
+    """BCRB tracking over a data-dependent-outcome model (regression)."""
+    model = qi.BinomialModel(qi.SimplePrecessionModel())
+    prior = qi.UniformDistribution([0.0, 1.0])
+    u = qi.SMCUpdaterBCRB(model, 400, prior, seed=0,
+                          initial_bim=np.eye(1))
+    for k in range(5):
+        ep = {"t": jnp.array([float(k + 1)], jnp.float32),
+              "n_meas": jnp.array([10.0], jnp.float32)}
+        out = model.simulate_experiment(
+            jax.random.PRNGKey(k), jnp.array([[0.5]]), ep
+        )[0, 0, 0]
+        u.update(out, ep)
+    bim = np.asarray(u.current_bim)
+    assert np.isfinite(bim).all() and bim[0, 0] > 1.0
