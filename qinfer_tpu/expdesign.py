@@ -127,9 +127,17 @@ class ExperimentDesigner:
         if maxiter is not None:
             options["maxiter"] = int(maxiter)
         if maxfun is not None:
-            options["maxfev" if self._opt_algo ==
-                    OptimizationAlgorithms.NELDER_MEAD else "maxiter"] = int(
-                        maxfun)
+            if self._opt_algo == OptimizationAlgorithms.NELDER_MEAD:
+                options["maxfev"] = int(maxfun)
+            else:
+                # CG/NCG expose no separate evaluation budget; honor the
+                # tighter of the two bounds instead of silently discarding
+                # a provided maxiter.
+                options["maxiter"] = (
+                    min(int(maxiter), int(maxfun))
+                    if maxiter is not None
+                    else int(maxfun)
+                )
 
         if self._opt_algo == OptimizationAlgorithms.NELDER_MEAD:
             res = scipy.optimize.minimize(
@@ -154,7 +162,9 @@ class ExperimentDesigner:
             if self._best_cost is None or cost_best < self._best_cost:
                 self._best_cost = cost_best
             else:
-                x_best = min(self._guesses)[1]
+                # Compare by cost alone — tuple comparison would fall
+                # through to comparing ndarrays on exact cost ties.
+                x_best = min(self._guesses, key=lambda g: g[0])[1]
 
         out = dict(ep_rest)
         out[field] = jnp.asarray(x_best, jnp.float32)

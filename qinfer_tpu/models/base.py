@@ -87,6 +87,13 @@ class Simulatable:
     def is_n_outcomes_constant(self) -> bool:
         return True
 
+    @property
+    def outcome_ndim(self) -> int:
+        """Trailing dimensions of a single outcome: 0 for scalar outcomes,
+        1 for vector outcomes (e.g. MultinomialModel count vectors).
+        Drives outcome canonicalization in the SMC update step."""
+        return 0
+
     def n_outcomes(self, expparams: ExpParams = None) -> int:
         """Number of outcomes (static int for constant-outcome models)."""
         raise NotImplementedError
@@ -105,6 +112,29 @@ class Simulatable:
         Reference: ``abstract_model.py — Simulatable.Q``.
         """
         return jnp.ones((self.n_modelparams,), jnp.float32)
+
+    # ---- simulation-call bookkeeping (reference:
+    # ``abstract_model.py — Simulatable.sim_count``) ------------------------
+
+    @property
+    def sim_count(self) -> int:
+        """Host-side count of simulated experiments (repeat · N · E per
+        ``simulate_experiment`` call). Counts trace-time calls when the
+        simulator runs under jit/scan — exact for eager use, one count per
+        compiled trace otherwise (device-side counters would force
+        synchronization on the hot path)."""
+        return self.__dict__.get("_sim_count", 0)
+
+    def reset_sim_count(self):
+        object.__setattr__(self, "_sim_count", 0)
+
+    def _bump_sim_count(self, modelparams, expparams, repeat=1):
+        n = (
+            int(repeat)
+            * int(jnp.asarray(modelparams).shape[0])
+            * _n_exps(expparams)
+        )
+        object.__setattr__(self, "_sim_count", self.sim_count + n)
 
     @property
     def model_chain(self):
@@ -249,6 +279,7 @@ class FiniteOutcomeModel(Model):
         Reference: ``abstract_model.py —
         FiniteOutcomeModel.simulate_experiment``. Shapes: (repeat, N, E).
         """
+        self._bump_sim_count(modelparams, expparams, repeat)
         outcomes = self.all_outcomes(expparams)
         logits = self.log_likelihood(outcomes, modelparams, expparams)
         # logits: (O, N, E) → categorical over axis 0, independent (N, E).

@@ -138,6 +138,7 @@ class BinomialModel(DerivedModel):
         )
 
     def simulate_experiment(self, key, modelparams, expparams, repeat=1):
+        self._bump_sim_count(modelparams, expparams, repeat)
         n_meas = jnp.asarray(
             expparams_field(expparams, "n_meas"), jnp.float32
         ).reshape(-1)
@@ -176,6 +177,10 @@ class MultinomialModel(DerivedModel):
     @property
     def is_n_outcomes_constant(self):
         return False
+
+    @property
+    def outcome_ndim(self):
+        return 1  # outcomes are count vectors of length n_sides
 
     @property
     def n_sides(self):
@@ -217,6 +222,7 @@ class MultinomialModel(DerivedModel):
         return const[:, None, None] + cross
 
     def simulate_experiment(self, key, modelparams, expparams, repeat=1):
+        self._bump_sim_count(modelparams, expparams, repeat)
         sides = jnp.arange(self.n_sides, dtype=jnp.int32)
         p = jnp.exp(
             self.underlying_model.log_likelihood(sides, modelparams, expparams)
@@ -286,6 +292,7 @@ class PoisonedModel(DerivedModel):
     def simulate_experiment(self, key, modelparams, expparams, repeat=1):
         # Sampling is not poisoned — matches the reference, which poisons
         # only the likelihood used for inference.
+        self._bump_sim_count(modelparams, expparams, repeat)
         return self.underlying_model.simulate_experiment(
             key, modelparams, expparams, repeat
         )
@@ -450,6 +457,15 @@ class ReferencedPoissonModel(DerivedModel):
     BRIGHT = 1
     DARK = 2
 
+    # Upper bound on the bright rate α (and hence every Poisson rate the
+    # model can produce). Sets the outcome-enumeration truncation for
+    # bayes_risk/EIG/all_outcomes: a rate-aware quantile bound keeps the
+    # truncated probability mass below ~1e-12 (Poisson tail beyond
+    # λ + 10√λ + 10). If None, enumeration falls back to a fixed bound of
+    # 1000 outcomes — adequate only for rates ≲ 900; set max_rate for
+    # high-rate calibrations.
+    max_rate: Optional[float] = None
+
     @property
     def n_modelparams(self):
         return self.underlying_model.n_modelparams + 2
@@ -469,7 +485,14 @@ class ReferencedPoissonModel(DerivedModel):
         return False
 
     def n_outcomes(self, expparams=None):
-        return 1000  # truncation bound for enumeration; counts are unbounded
+        """Rate-aware enumeration truncation (counts are unbounded —
+        ``domain()`` reflects that; this bounds ``all_outcomes``)."""
+        if self.max_rate is not None:
+            import math
+
+            lam = float(self.max_rate)
+            return int(math.ceil(lam + 10.0 * math.sqrt(lam) + 10.0)) + 1
+        return 1000  # documented fallback; see ``max_rate``
 
     def domain(self, expparams=None):
         return IntegerDomain(min=0, max=None)
@@ -526,6 +549,7 @@ class ReferencedPoissonModel(DerivedModel):
         )
 
     def simulate_experiment(self, key, modelparams, expparams, repeat=1):
+        self._bump_sim_count(modelparams, expparams, repeat)
         rate = self._rate(modelparams, expparams)
         draws = jax.random.poisson(key, rate, (repeat,) + rate.shape)
         return draws.astype(jnp.int32)

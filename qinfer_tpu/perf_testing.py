@@ -14,7 +14,9 @@ sharded over a mesh for multi-chip ensembles.
 
 Per-step wall-clock cannot be observed inside a compiled scan, so
 ``elapsed_time`` reports (total device wall time)/(n_exp) uniformly —
-the aggregate timing the BASELINE metric needs.
+the aggregate timing the BASELINE metric needs. The episode program is
+AOT-compiled before the timed block, so compilation never contaminates
+``elapsed_time`` (unlike round 1).
 """
 
 from __future__ import annotations
@@ -164,11 +166,17 @@ def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
         key = jax.random.key(seed)
     keys = jax.random.split(key, n_trials)
 
+    # AOT-compile outside the timed block so elapsed_time measures device
+    # execution, not the one-time XLA compile (which would dominate small
+    # runs — the reference's per-update timing never includes compilation).
+    episode_args = (
+        model, heuristic_core, resampler, config, prior,
+        true_model, true_prior, int(n_particles), int(n_exp), keys,
+    )
+    run_episodes.lower(*episode_args).compile()
+
     with timing() as t:
-        recs, _states = run_episodes(
-            model, heuristic_core, resampler, config, prior,
-            true_model, true_prior, int(n_particles), int(n_exp), keys,
-        )
+        recs, _states = run_episodes(*episode_args)
         recs = jax.tree_util.tree_map(
             lambda a: np.asarray(jax.block_until_ready(a)), recs
         )

@@ -133,7 +133,13 @@ def smc_update_step(model, resampler, config: SMCConfig, state: SMCState,
     Returns (new_state, log_norm) with log_norm the single-update evidence
     log Pr(outcome | expparam) — the normalization_record entry.
     """
-    outcome_arr = jnp.atleast_1d(jnp.asarray(outcome))[:1]
+    outcome = jnp.asarray(outcome)
+    if getattr(model, "outcome_ndim", 0) >= 1:
+        # Vector outcomes (e.g. MultinomialModel count vectors): keep the
+        # trailing outcome dimension, O axis = 1.
+        outcome_arr = outcome.reshape(1, outcome.shape[-1])
+    else:
+        outcome_arr = jnp.atleast_1d(outcome)[:1]
     log_L = model.log_likelihood(
         outcome_arr, state.particle_locations, expparams
     )[0, :, 0]  # (N,)
@@ -352,7 +358,17 @@ class SMCUpdater(ParticleDistribution):
         self.normalization_record = []
         self.resampling_divergences = [] if track_resampling_divergence else None
         self._call_count = 0
-        self._sim_count = 0
+
+        # Cached no-resample config + placeholder resampler: these classes
+        # are register_static/eq=False (identity-hashed), so constructing
+        # fresh ones per update() call would be a jit cache miss and a full
+        # retrace every call.
+        self._no_resample_config = SMCConfig(
+            resample_thresh=-1.0,
+            zero_weight_policy=zero_weight_policy,
+            zero_weight_thresh=float(zero_weight_thresh),
+        )
+        self._placeholder_resampler = LiuWestResampler()
 
         if key is None:
             # Old-style uint32 keys: they serialize through np.savez/orbax
@@ -417,17 +433,29 @@ class SMCUpdater(ParticleDistribution):
 
     # -- lifecycle ---------------------------------------------------------
 
-    def reset(self, n_particles=None, only_params=None):
-        """Re-draw particles from the prior. Reference: ``SMCUpdater.reset``."""
+    def reset(self, n_particles=None, only_params=None, fresh_rng=True):
+        """Re-draw particles from the prior. Reference: ``SMCUpdater.reset``.
+
+        ``fresh_rng=True`` (default) draws the new cloud from the updater's
+        *current* RNG stream, matching the reference (whose global RNG has
+        advanced by reset time). ``fresh_rng=False`` reuses the
+        construction-time key, reproducing the original initial cloud
+        exactly (deterministic-replay mode).
+        """
         if n_particles is not None:
             self._n_particles = int(n_particles)
         if only_params is not None:
             raise NotImplementedError("only_params reset is not supported.")
+        key = (
+            jax.random.split(self.state.key)[0] if fresh_rng else self._init_key
+        )
         self.state = init_smc_state(
-            self._init_key, self.model, self._n_particles, self.prior
+            key, self.model, self._n_particles, self.prior
         )
         self.data_record = []
         self.normalization_record = []
+        if self._track_rsd:
+            self.resampling_divergences = []
 
     # -- updates -----------------------------------------------------------
 
@@ -470,25 +498,23 @@ class SMCUpdater(ParticleDistribution):
         """
         config = self.config
         host_resampler = getattr(self.resampler, "host_side", False)
-        if not check_for_resample or host_resampler:
-            config = SMCConfig(
-                resample_thresh=-1.0,
-                zero_weight_policy=self.config.zero_weight_policy,
-                zero_weight_thresh=self.config.zero_weight_thresh,
-            )
+        # Divergence tracking needs the pre-resample cloud on the host, so
+        # it routes resampling through the eager path below, like host-side
+        # resamplers (e.g. ClusteringResampler) that cannot trace inside
+        # the jitted step.
+        eager_resample = host_resampler or self._track_rsd
+        if not check_for_resample or eager_resample:
+            config = self._no_resample_config
+        step_resampler = (
+            self._placeholder_resampler if eager_resample else self.resampler
+        )
         expparams = _as_single_expparams(expparams)
         prev_zero = int(self.state.n_zero_weight_events)
-        # Host-side resamplers (e.g. ClusteringResampler) cannot trace
-        # inside the jitted step: run the update with resampling disabled
-        # and do the ESS check + resample eagerly below.
-        step_resampler = (
-            LiuWestResampler() if host_resampler else self.resampler
-        )
         self.state, log_norm = self._jit_step(
             self.model, step_resampler, config, self.state, outcome, expparams
         )
         if (
-            host_resampler
+            eager_resample
             and check_for_resample
             and float(self.n_ess)
             < self.config.resample_thresh * self._n_particles
@@ -509,9 +535,9 @@ class SMCUpdater(ParticleDistribution):
         """
         expparams = _coerce_expparams(expparams)
         outcomes = jnp.asarray(outcomes)
-        if getattr(self.resampler, "host_side", False):
-            # Host-side resamplers can't live inside the scan — replay
-            # through per-update host steps instead.
+        if getattr(self.resampler, "host_side", False) or self._track_rsd:
+            # Host-side resamplers and divergence tracking can't live
+            # inside the scan — replay through per-update host steps.
             for i in range(int(outcomes.shape[0])):
                 self.update(
                     outcomes[i],
@@ -543,6 +569,9 @@ class SMCUpdater(ParticleDistribution):
     def resample(self):
         """Force a resample now. Reference: ``SMCUpdater.resample``."""
         st = self.state
+        if self._track_rsd:
+            pre_w = np.exp(np.asarray(st.particle_log_weights, np.float64))
+            pre_locs = np.asarray(st.particle_locations, np.float64)
         k_res, k_next = jax.random.split(st.key)
         new_locs = self.resampler(
             k_res, self.model, st.particle_locations, st.particle_log_weights
@@ -557,6 +586,12 @@ class SMCUpdater(ParticleDistribution):
             n_resamples=st.n_resamples + 1,
             just_resampled=jnp.ones((), bool),
         )
+        if self._track_rsd:
+            post_locs = np.asarray(new_locs, np.float64)
+            post_w = np.full(post_locs.shape[0], 1.0 / post_locs.shape[0])
+            self.resampling_divergences.append(
+                _gaussian_kl(pre_w, pre_locs, post_w, post_locs)
+            )
         return self
 
     def _check_zero_weight(self, prev_count):
@@ -937,6 +972,42 @@ class MixedApproximateSMCUpdater(SMCUpdater):
             self._sharpened = True
         self.model = self.good_model if self._sharpened else self.approximate_model
         return super().update(outcome, expparams, check_for_resample)
+
+
+def _gaussian_kl(w0, locs0, w1, locs1):
+    """KL(N(μ0,Σ0) ‖ N(μ1,Σ1)) between moment-matched Gaussians of two
+    weighted particle clouds (f64, host-side).
+
+    Used for ``track_resampling_divergence`` (reference: ``smc.py —
+    SMCUpdater`` resampling-divergence record [exact divergence estimator
+    unverified in survey — the empirical clouds have no common support, so
+    a moment-matched Gaussian KL is the natural well-defined choice; it is
+    exactly the information the Liu–West kernel is designed to preserve]).
+    """
+    d = locs0.shape[1]
+
+    def moments(w, locs):
+        mu = w @ locs
+        centered = locs - mu
+        cov = (w[:, None] * centered).T @ centered
+        return mu, cov + 1e-12 * np.eye(d)
+
+    mu0, cov0 = moments(w0, locs0)
+    mu1, cov1 = moments(w1, locs1)
+    cov1_inv = np.linalg.inv(cov1)
+    dmu = mu1 - mu0
+    _, logdet0 = np.linalg.slogdet(cov0)
+    _, logdet1 = np.linalg.slogdet(cov1)
+    return float(
+        0.5
+        * (
+            np.trace(cov1_inv @ cov0)
+            + dmu @ cov1_inv @ dmu
+            - d
+            + logdet1
+            - logdet0
+        )
+    )
 
 
 def _as_single_expparams(expparams):

@@ -13,6 +13,7 @@ from .distributions import (
     GADFLIDistribution,
     GinibreDistribution,
     GinibreReditDistribution,
+    GinibreUniform,
     HaarUniform,
     HilbertSchmidtUniform,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "GADFLIDistribution",
     "HilbertSchmidtUniform",
     "HaarUniform",
+    "GinibreUniform",
     "plot_decorate_rebits",
     "plot_rebit_prior",
     "plot_rebit_posterior",

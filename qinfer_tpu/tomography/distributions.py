@@ -32,6 +32,7 @@ __all__ = [
     "GADFLIDistribution",
     "HilbertSchmidtUniform",
     "HaarUniform",
+    "GinibreUniform",
 ]
 
 
@@ -247,6 +248,18 @@ class HaarUniform(GinibreDistribution):
         super().__init__(gell_mann_basis(dim), rank=1)
 
 
+class GinibreUniform(GinibreDistribution):
+    """Legacy alias: Ginibre-ensemble mixed states of a given rank.
+
+    Reference: ``distributions.py — GinibreUniform`` (legacy tomography
+    prior; the third of the pre-subpackage trio alongside
+    HilbertSchmidtUniform and HaarUniform). ``rank=None`` is full rank.
+    """
+
+    def __init__(self, rank=None, dim=2):
+        super().__init__(gell_mann_basis(dim), rank=rank)
+
+
 # Priors are static configuration under jit (identity-hashed), so they can
 # ride through jitted APIs (perf_test episode scans etc.) like the
 # dataclass distributions in ..distributions.
@@ -258,5 +271,6 @@ for _cls in (
     GADFLIDistribution,
     HilbertSchmidtUniform,
     HaarUniform,
+    GinibreUniform,
 ):
     jax.tree_util.register_static(_cls)

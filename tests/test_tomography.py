@@ -75,6 +75,8 @@ def test_ginibre_priors_physical(key):
         GinibreDistribution(basis, rank=1),
         GinibreReditDistribution(basis),
         HaarUniform(2),
+        qi.tomography.GinibreUniform(rank=None, dim=2),
+        qi.tomography.GinibreUniform(rank=1, dim=2),
     ]:
         x = prior.sample(key, 200)
         model = TomographyModel(basis)
