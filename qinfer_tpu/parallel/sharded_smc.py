@@ -239,7 +239,11 @@ def make_sharded_update_step(mesh, model, resampler, config: SMCConfig,
         k_shards = jax.lax.axis_size(axis)
         n_global = n_local * k_shards
 
-        outcome_arr = jnp.atleast_1d(jnp.asarray(outcome))[:1]
+        outcome = jnp.asarray(outcome)
+        if getattr(model, "outcome_ndim", 0) >= 1:
+            outcome_arr = outcome.reshape(1, outcome.shape[-1])
+        else:
+            outcome_arr = jnp.atleast_1d(outcome)[:1]
         log_L = jnp.clip(
             model.log_likelihood(outcome_arr, locs, expparams)[0, :, 0],
             -87.0,  # lower only — continuous densities may exceed 1
