@@ -11,6 +11,7 @@ effective HBM bandwidth if applicable}.
 Usage: timeout 580 /opt/venv/bin/python bench_breakdown.py [N_log2]
 """
 
+import functools
 import json
 import sys
 import time
@@ -20,33 +21,52 @@ import jax.numpy as jnp
 import numpy as np
 
 N = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 20)
-ITERS = 30
+ITERS = 30  # base iteration count k1; differencing uses k2 = 4*k1
 REPEATS = 3
 
 
 def timed(name, step_fn, init_fn, bytes_moved=None, iters=ITERS):
-    """step_fn: carry -> carry (data-chained); init_fn: seed -> carry."""
+    """step_fn: carry -> carry (data-chained); init_fn: seed -> carry.
 
-    @jax.jit
-    def run(c0):
-        def body(c, _):
-            return step_fn(c), None
+    The relay adds a ~25 ms FIXED cost per executed program (independent of
+    the program's length), so a single absolute timing at small `iters`
+    measures the floor, not the op. We therefore time the same scan at k and
+    4k iterations and report (t_4k − t_k)/(3k): the fixed cost cancels
+    exactly and only the marginal per-iteration cost remains.
+    """
 
-        c, _ = jax.lax.scan(body, c0, None, length=iters)
-        return c
+    def make_run(k):
+        @jax.jit
+        def run(c0):
+            def body(c, _):
+                return step_fn(c), None
 
-    c = run(init_fn(0))
-    float(jnp.sum(jax.tree_util.tree_leaves(c)[0]))  # compile + warm
-    best = float("inf")
-    for rep in range(REPEATS):
-        c0 = init_fn(rep + 1)
-        jax.block_until_ready(c0)
-        t0 = time.perf_counter()
-        c = run(c0)
+            c, _ = jax.lax.scan(body, c0, None, length=k)
+            return c
+
+        return run
+
+    k1, k2 = iters, 4 * iters
+    run1, run2 = make_run(k1), make_run(k2)
+
+    def measure(run):
+        # warm/compile
+        c = run(init_fn(0))
         float(jnp.sum(jax.tree_util.tree_leaves(c)[0]))
-        best = min(best, time.perf_counter() - t0)
-    ms = best / iters * 1e3
-    rec = {"op": name, "ms": round(ms, 4), "n": N}
+        best = float("inf")
+        for rep in range(REPEATS):
+            c0 = init_fn(rep + 1)
+            jax.block_until_ready(c0)
+            t0 = time.perf_counter()
+            c = run(c0)
+            float(jnp.sum(jax.tree_util.tree_leaves(c)[0]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = measure(run1), measure(run2)
+    ms = max(t2 - t1, 1e-9) / (k2 - k1) * 1e3
+    rec = {"op": name, "ms": round(ms, 4), "n": N,
+           "fixed_ms": round((t1 - ms * 1e-3 * k1) * 1e3, 1)}
     if bytes_moved is not None:
         rec["gbps"] = round(bytes_moved / (ms * 1e-3) / 1e9, 1)
     print(json.dumps(rec), flush=True)

@@ -196,12 +196,13 @@ class LiuWestResampler(Resampler):
     postselect: bool = True
     kernel: Optional[Callable] = None
     use_systematic: bool = True
-    # Pallas expand kernel for the index-draw+pick. Opt-in (None = off):
-    # it beats the XLA scatter/cummax path per-resample (17→11.5ms at 1M
-    # particles, and ~D× better for multi-parameter models since all
-    # columns share one pass), but Mosaic remote-compilation of
-    # scan-wrapped kernels takes minutes on the current axon stack, so it
-    # is not enabled by default. Set True only for long-lived big-N runs.
+    # Pallas expand kernel for the index-draw+pick: 2× the XLA blocked
+    # pick at 1M particles (14.4→7.2 ms measured, and ~D× better for
+    # multi-parameter models since all columns share one rank pass).
+    # None = auto: on for single-device TPU at n ∈ [2^19, 2^24) (the
+    # one-time ~30 s Mosaic compile only pays off for big-N runs; under
+    # GSPMD sharding the shard_map path has its own distributed pick).
+    # True/False force it on/off.
     use_expand_kernel: Optional[bool] = None
 
     @property
@@ -223,7 +224,14 @@ class LiuWestResampler(Resampler):
         S = sqrtm_psd((h * h) * cov)
 
         k_idx, k_draw = jax.random.split(key)
-        use_expand = bool(self.use_expand_kernel)
+        if self.use_expand_kernel is None:
+            use_expand = (
+                jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+                and (1 << 19) <= n < (1 << 24)
+            )
+        else:
+            use_expand = bool(self.use_expand_kernel)
         if use_expand:
             # Pallas merge kernel: picks locs[idx] directly with no
             # gather/scatter; all D columns share one pass.

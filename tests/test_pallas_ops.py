@@ -66,6 +66,29 @@ def test_systematic_expand_multicolumn(key):
     np.testing.assert_array_equal(out, np.asarray(vals)[idx])
 
 
+@pytest.mark.parametrize("heavy_at", [0, 9000, 24000, 24570])
+def test_expand_extreme_skew(heavy_at, key):
+    """One particle holds ~all mass → the kernel's window-advance loop must
+    skip many zero-coverage chunks in a single subtile (and resume
+    correctly afterwards)."""
+    n = 24571  # several grid steps, ragged tail, ~12 chunks
+    w = np.full(n, 1e-9)
+    w[heavy_at] = 1.0
+    w /= w.sum()
+    t = np.ceil(n * np.cumsum(w) - 0.5).astype(np.int64)
+    starts = np.maximum.accumulate(
+        np.maximum(np.concatenate([[0], t[:-1]]), 0)
+    ).astype(np.int32)
+    rng = np.random.default_rng(heavy_at)
+    vals = rng.standard_normal(n).astype(np.float32)
+    out = np.asarray(
+        expand_sorted_segments(jnp.asarray(starts), jnp.asarray(vals),
+                               interpret=True)
+    )
+    idx = np.searchsorted(starts, np.arange(n), side="right") - 1
+    np.testing.assert_array_equal(out, vals[idx])
+
+
 def test_fused_update_matches_xla(key):
     n = 10_000  # deliberately not a tile multiple (exercises padding)
     rng = np.random.default_rng(2)
