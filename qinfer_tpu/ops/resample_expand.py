@@ -14,21 +14,32 @@ This kernel exploits the sortedness and streams at near-HBM speed:
   one chunk ahead, so the common case pays no DMA latency; a skew loop
   advances the window one chunk at a time when a subtile's covering
   particles span beyond the resident window (heavily non-uniform weights);
-- within a subtile the rank r(i) = #{starts ≤ i} over the W-wide resident
-  window is found *hierarchically*: a (T, G) compare against the G group
-  maxima picks each stratum's group, an MXU one-hot row-select fetches
-  that group's GS starts, and a second (T, GS) compare finishes the rank —
+- within a subtile the rank r(i) = #{starts ≤ i} over the resident window
+  is found *hierarchically*: a (T, G) compare against the G group maxima
+  picks each stratum's group, an MXU one-hot row-select fetches that
+  group's GS starts, and a second (T, GS) compare finishes the rank —
   O(G + GS) work per stratum instead of O(W), with the row selects running
   as (T, G) · (GS, G)ᵀ contractions on the MXU;
 - the covering particle's value is fetched the same way (one-hot group
   select + within-group one-hot reduce); all D parameter columns share the
-  rank math and pay one extra matmul each.
+  rank math and pay one extra select each;
+- Mosaic lowers f32 MXU matmuls to a SINGLE bf16 pass (silently rounding),
+  so every f32 stream is pre-split into THREE bf16 planes
+  (v = p1 + p2 + p3, the standard exact 3-way split: 3 × 9 significant
+  bits ≥ the 24-bit f32 mantissa) and each select is three single-pass
+  bf16 dots — exact, and half the MXU passes of precision=HIGHEST;
+- the window is ONE chunk and advances by whole chunks; a stratum whose
+  covering particle is the last element of the *previous* window resolves
+  through a per-column SMEM boundary carry (rank 0 under the current
+  window ⇒ covering = last particle of the prior chunk, by the advance
+  rule: the window only advances past a chunk once all its starts are ≤
+  the saturating stratum).
 
 Mosaic cannot shape-cast 1-D↔2-D vectors in-kernel, so the streams are
 pre-tiled OUTSIDE the kernel (one cheap XLA transpose) into
-``(n_chunks, GS, G/2)`` blocks: chunk c element (p, g) is flat index
-``c·CHUNK + g·GS + p``; the resident window is a lane-axis concat of two
-chunks giving the (GS, G) group matrix directly.
+``(n_chunks, GS, GH)`` blocks: chunk c element (p, g) is flat index
+``c·CHUNK + g·GS + p``; column g of a resident window is the g-th group
+of GS consecutive (sorted) starts, so its group max is row GS−1.
 
 No gathers, no scatters, no sort. Total traffic is O(n·(D+1)) reads +
 O(n·D) writes. Indices are carried in f32 (exact for n ≤ 2^24; the
@@ -49,28 +60,31 @@ import numpy as np
 __all__ = ["expand_sorted_segments", "systematic_expand"]
 
 _SENTINEL = np.float32(2.0 ** 30)
-_GS = 16  # group size (sublanes of a window tile; ≥ f32 min sublane 8)
+_GS = 64  # group size (sublanes of a window tile; multiple of bf16's 16)
 _GH = 128  # groups per chunk (lanes of a ring slot; the TPU lane width)
-_G = 2 * _GH  # groups per resident window
-_CHUNK = _GS * _GH  # particles per DMA chunk (2048)
-_W = 2 * _CHUNK  # resident window width
-_T = 2048  # strata per subtile
-_SUB = 4  # subtiles per grid step
+_G = _GH  # groups per resident window (window = one chunk)
+_CHUNK = _GS * _GH  # particles per DMA chunk (8192) = window width
+_W = _CHUNK
+_SUPER = 8192  # strata per grid step (= _SUB · _T, fixed)
+_T = 2048  # strata per subtile (default; shrunk for many-column calls)
 
 # dot_general contraction: (T, G) · (GS, G) → (T, GS), contracting G.
 _SELECT_DNUMS = (((1,), (1,)), ((), ()))
+_N_PLANES = 3
 
 
-def _expand_kernel(*refs, n_cols):
+def _expand_kernel(*refs, n_cols, t_size):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    starts_hbm = refs[0]  # (n_chunks, GS, GH)
-    value_hbms = refs[1 : 1 + n_cols]
-    out_refs = refs[1 + n_cols : 1 + 2 * n_cols]
-    (cur_j, loaded, inflight, ring_s) = refs[1 + 2 * n_cols : 5 + 2 * n_cols]
-    ring_v = refs[5 + 2 * n_cols : 5 + 3 * n_cols]  # (3, GS, GH) each
-    sems = refs[5 + 3 * n_cols]  # DMA sems, shape (3, 1 + n_cols)
+    n_streams = _N_PLANES * (1 + n_cols)
+    stream_hbms = refs[:n_streams]  # s planes, then col-0 planes, …
+    out_refs = refs[n_streams : n_streams + n_cols]
+    (cur_j, loaded, inflight, carry, ring) = refs[
+        n_streams + n_cols : n_streams + n_cols + 5
+    ]
+    # ring: (3 slots, n_streams, GS, GH) bf16
+    sems = refs[n_streams + n_cols + 5]  # DMA sems, shape (3, n_streams)
 
     k = pl.program_id(0)
 
@@ -80,30 +94,21 @@ def _expand_kernel(*refs, n_cols):
         for s in range(3):
             loaded[s] = -1
             inflight[s] = 0
+        for d in range(n_cols):
+            carry[d] = 0.0
 
     def dma_chunk(c, slot):
-        cps = [
+        for t in range(n_streams):
             pltpu.make_async_copy(
-                starts_hbm.at[c], ring_s.at[slot], sems.at[slot, 0]
-            )
-        ] + [
-            pltpu.make_async_copy(
-                value_hbms[d].at[c], ring_v[d].at[slot], sems.at[slot, 1 + d]
-            )
-            for d in range(n_cols)
-        ]
-        for cp in cps:
-            cp.start()
+                stream_hbms[t].at[c], ring.at[slot, t], sems.at[slot, t]
+            ).start()
 
     def wait_chunk(slot):
         # .wait() waits for the byte count of the copy it is built from;
         # the src/dst refs are placeholders with the started copies' shape.
-        pltpu.make_async_copy(
-            ring_s.at[0], ring_s.at[0], sems.at[slot, 0]
-        ).wait()
-        for d in range(n_cols):
+        for t in range(n_streams):
             pltpu.make_async_copy(
-                ring_v[d].at[0], ring_v[d].at[0], sems.at[slot, 1 + d]
+                ring.at[0, 0], ring.at[0, 0], sems.at[slot, t]
             ).wait()
 
     def ensure(c):
@@ -137,79 +142,104 @@ def _expand_kernel(*refs, n_cols):
         jnp.float32)
     gs_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _GS), 1).astype(
         jnp.float32)
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (_T, 1), 0).astype(
+    n_sub = _SUPER // t_size
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_size, 1), 0).astype(
         jnp.float32)
+    # Corner mask for the boundary carry: the window's LAST particle.
+    corner = (
+        (jax.lax.broadcasted_iota(jnp.int32, (_GS, _GH), 0) == _GS - 1)
+        & (jax.lax.broadcasted_iota(jnp.int32, (_GS, _GH), 1) == _GH - 1)
+    ).astype(jnp.float32)
 
-    for sub in range(_SUB):
-        sub_start = (k * _SUB + sub) * _T
+    def select3(oh_bf16, slot, stream0):
+        """Exact f32 one-hot row-select via three single-pass bf16 dots."""
+        acc = None
+        for p in range(_N_PLANES):
+            part = jax.lax.dot_general(
+                oh_bf16, ring[slot, stream0 + p], _SELECT_DNUMS,
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        return acc  # (T, GS)
+
+    for sub in range(n_sub):
+        sub_start = (k * n_sub + sub) * t_size
         row = sub_start.astype(jnp.float32) + t_iota  # (T, 1) stratum ids
 
-        def cond(carry):
-            return ~carry[1]
+        def cond(c):
+            return ~c[1]
 
-        def body(carry):
-            c0, _, res, acc = carry
+        def body(c):
+            c0, _, res, acc = c
             ensure(c0)
-            ensure(c0 + 1)
-            prefetch(c0 + 2)
+            prefetch(c0 + 1)
 
-            slot_a = jax.lax.rem(c0, 3)
-            slot_b = jax.lax.rem(c0 + 1, 3)
-            # (GS, G): column g is window-group g, rows are within-group.
-            s_win = jnp.concatenate([ring_s[slot_a], ring_s[slot_b]], axis=1)
-            gmax = s_win[_GS - 1 : _GS, :]  # (1, G)
+            slot = jax.lax.rem(c0, 3)
+            # Group maxima: the last (GS−1) row of each start plane, summed
+            # back to exact f32. (1, G)
+            gmax = (
+                ring[slot, 0][_GS - 1 : _GS, :].astype(jnp.float32)
+                + ring[slot, 1][_GS - 1 : _GS, :].astype(jnp.float32)
+                + ring[slot, 2][_GS - 1 : _GS, :].astype(jnp.float32)
+            )
 
             # Level 1: how many groups lie fully at/below this stratum.
             fg = jnp.sum(
                 (gmax <= row).astype(jnp.float32), axis=1, keepdims=True
             )  # (T, 1), in [0, G]
-            oh_fg = (fg == g_iota).astype(jnp.float32)  # (T, G)
+            oh_fg = (fg == g_iota).astype(jnp.bfloat16)  # (T, G)
             # Level 2: rank within the (fg)-th group via MXU column-select.
-            # precision=HIGHEST: Mosaic lowers f32 MXU matmuls to ONE bf16
-            # pass by default, silently rounding the selected values (and
-            # the start indices the rank compare needs exact). One-hot ×
-            # f32 under the multi-pass split is exact.
-            s2 = jax.lax.dot_general(
-                oh_fg, s_win, _SELECT_DNUMS,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (T, GS) — group fg's starts per stratum
+            s2 = select3(oh_fg, slot, 0)  # (T, GS) — group fg's starts
             r_lo = jnp.sum(
                 (s2 <= row).astype(jnp.float32), axis=1, keepdims=True
             )
             r = jnp.minimum(_GS * fg + r_lo, float(_W))  # (T, 1)
 
-            c = r - 1.0  # local covering index, −1 → resolved earlier
-            chi = jnp.floor(c / _GS)
-            clo = c - _GS * chi
-            oh_chi = (chi == g_iota).astype(jnp.float32)  # (T, G)
+            cc = r - 1.0  # local covering index; −1 → boundary carry
+            chi = jnp.floor(cc / _GS)
+            clo = cc - _GS * chi
+            oh_chi = (chi == g_iota).astype(jnp.bfloat16)  # (T, G)
             oh_clo = (clo == gs_iota).astype(jnp.float32)  # (T, GS)
-            # r == W means the covering particle may lie beyond the
-            # window — defer those rows to the next (advanced) visit. On
-            # saturation the window advances by ONE chunk (overlapping the
-            # old window so a covering-at-window-end particle stays
-            # resident), so rows already resolved in the overlap must be
-            # masked out via the carried `res` flag to avoid double counts.
+            # r == W means the covering particle may lie at/beyond the
+            # window end — defer those rows to the next (advanced) visit;
+            # they resolve there with r ≥ 1, or r == 0 ⇒ covering is the
+            # previous window's LAST particle (the SMEM carry). Rows
+            # already resolved in an earlier visit are masked via `res`.
             live = (r < float(_W)).astype(jnp.float32) * (1.0 - res)  # (T,1)
             sel = oh_clo * live
+            carried = (r == 0.0).astype(jnp.float32) * live  # (T, 1)
 
             new_acc = []
             for d in range(n_cols):
-                v_win = jnp.concatenate(
-                    [ring_v[d][slot_a], ring_v[d][slot_b]], axis=1
-                )
-                v2 = jax.lax.dot_general(
-                    oh_chi, v_win, _SELECT_DNUMS,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (T, GS)
-                new_acc.append(acc[d] + jnp.sum(v2 * sel, axis=1))
+                v2 = select3(oh_chi, slot, _N_PLANES * (1 + d))  # (T, GS)
+                picked = jnp.sum(v2 * sel, axis=1)
+                picked = picked + carry[d] * carried[:, 0]
+                new_acc.append(acc[d] + picked)
 
-            saturated = r[_T - 1, 0] == float(_W)
+            saturated = r[t_size - 1, 0] == float(_W)
+
+            @pl.when(saturated)
+            def _advance_carry():
+                # carry ← last particle of the chunk being advanced over.
+                for d in range(n_cols):
+                    s0 = _N_PLANES * (1 + d)
+                    carry[d] = jnp.sum(
+                        (
+                            ring[slot, s0].astype(jnp.float32)
+                            + ring[slot, s0 + 1].astype(jnp.float32)
+                            + ring[slot, s0 + 2].astype(jnp.float32)
+                        )
+                        * corner
+                    )
+
+            # Next subtile's window: the chunk holding the last covering
+            # particle (clamped ≥ c0 — a carry-resolved last row must not
+            # step the window backward, which would invalidate the carry).
             cur_j[0] = jnp.where(
                 saturated,
                 (c0 + 1) * _CHUNK,
-                c0 * _CHUNK + c[_T - 1, 0].astype(jnp.int32),
+                c0 * _CHUNK
+                + jnp.maximum(cc[t_size - 1, 0], 0.0).astype(jnp.int32),
             )
             return (
                 c0 + saturated.astype(jnp.int32),
@@ -221,12 +251,12 @@ def _expand_kernel(*refs, n_cols):
         init = (
             cur_j[0] // _CHUNK,
             False,
-            jnp.zeros((_T, 1), jnp.float32),
-            tuple(jnp.zeros((_T,), jnp.float32) for _ in range(n_cols)),
+            jnp.zeros((t_size, 1), jnp.float32),
+            tuple(jnp.zeros((t_size,), jnp.float32) for _ in range(n_cols)),
         )
         _, _, _, acc = jax.lax.while_loop(cond, body, init)
         for d in range(n_cols):
-            out_refs[d][pl.ds(sub * _T, _T)] = acc[d]
+            out_refs[d][pl.ds(sub * t_size, t_size)] = acc[d]
 
     # Drain any still-inflight prefetch DMA before the kernel exits — an
     # outstanding async copy with an un-waited semaphore aborts the TPU.
@@ -250,19 +280,47 @@ def _tile_chunks(flat):
     return jnp.swapaxes(flat.reshape(n_chunks, _GH, _GS), 1, 2)
 
 
+def _split_planes(x):
+    """Exact 3-way bf16 split: x == p1 + p2 + p3 for every finite normal
+    f32 (each rounding removes ≥ 8 mantissa bits; 3 × 8 significand bits ≥
+    the 24-bit f32 mantissa). Uses ``lax.reduce_precision`` — NOT an
+    astype(bf16) round-trip, which XLA's excess-precision simplifier folds
+    to identity on TPU (measured: x − f32(bf16(x)) compiles to 0)."""
+    h1 = jax.lax.reduce_precision(x, 8, 7)  # bf16-valued, f32 dtype
+    r1 = x - h1
+    h2 = jax.lax.reduce_precision(r1, 8, 7)
+    r2 = r1 - h2
+    h3 = jax.lax.reduce_precision(r2, 8, 7)
+    return (h1.astype(jnp.bfloat16), h2.astype(jnp.bfloat16),
+            h3.astype(jnp.bfloat16))
+
+
 @functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
 def _expand_cols(starts_padded, cols_padded, n_out, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_cols = len(cols_padded)
-    super_tile = _SUB * _T
+    n_streams = _N_PLANES * (1 + n_cols)
+    # The (t_size, ·) intermediates live on the 16 MB VMEM stack and scale
+    # with the column count — shrink the subtile as columns grow (measured:
+    # n_cols=4 at t_size=2048 overflows by ~0.9 MB).
+    if n_cols <= 2:
+        t_size = _T
+    elif n_cols <= 9:
+        t_size = _T // 2
+    else:
+        t_size = _T // 4
+    super_tile = _SUPER
     n_super = _round_up(n_out, super_tile) // super_tile
     out_struct = jax.ShapeDtypeStruct((n_super * super_tile,), jnp.float32)
+    streams = []
+    for arr in (starts_padded, *cols_padded):
+        streams.extend(_tile_chunks(p) for p in _split_planes(arr))
     outs = pl.pallas_call(
-        functools.partial(_expand_kernel, n_cols=n_cols),
+        functools.partial(_expand_kernel, n_cols=n_cols, t_size=t_size),
         grid=(n_super,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + n_cols),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_streams,
         out_specs=tuple(
             pl.BlockSpec((super_tile,), lambda k: (k,),
                          memory_space=pltpu.VMEM)
@@ -273,13 +331,12 @@ def _expand_cols(starts_padded, cols_padded, n_out, interpret):
             pltpu.SMEM((1,), jnp.int32),   # cur_j
             pltpu.SMEM((3,), jnp.int32),   # loaded chunk id per slot
             pltpu.SMEM((3,), jnp.int32),   # inflight flag per slot
-            pltpu.VMEM((3, _GS, _GH), jnp.float32),  # starts ring
-        ]
-        + [pltpu.VMEM((3, _GS, _GH), jnp.float32) for _ in range(n_cols)]
-        + [pltpu.SemaphoreType.DMA((3, 1 + n_cols))],
+            pltpu.SMEM((max(n_cols, 1),), jnp.float32),  # boundary carry
+            pltpu.VMEM((3, n_streams, _GS, _GH), jnp.bfloat16),  # ring
+            pltpu.SemaphoreType.DMA((3, n_streams)),
+        ],
         interpret=interpret,
-    )(_tile_chunks(starts_padded),
-      *(_tile_chunks(c) for c in cols_padded))
+    )(*streams)
     return tuple(o[:n_out] for o in outs)
 
 
@@ -299,7 +356,10 @@ def expand_sorted_segments(starts, values, n_out=None, interpret=None):
         interpret = jax.default_backend() == "cpu"
     starts = jnp.asarray(starts, jnp.float32)
 
-    total = _round_up(n_in, _CHUNK) + 4 * _CHUNK
+    # Pad with sentinels: the window never advances past the first chunk
+    # containing a sentinel (2^30 > any stratum id), so +2 chunks bound the
+    # prefetch target (window + 1).
+    total = _round_up(n_in, _CHUNK) + 2 * _CHUNK
     pad = total - n_in
     starts_p = jnp.concatenate(
         [starts, jnp.full((pad,), _SENTINEL, jnp.float32)]

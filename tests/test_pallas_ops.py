@@ -66,12 +66,15 @@ def test_systematic_expand_multicolumn(key):
     np.testing.assert_array_equal(out, np.asarray(vals)[idx])
 
 
-@pytest.mark.parametrize("heavy_at", [0, 9000, 24000, 24570])
+@pytest.mark.parametrize(
+    "heavy_at", [0, 8191, 8192, 9000, 16383, 16384, 24000, 24570]
+)
 def test_expand_extreme_skew(heavy_at, key):
     """One particle holds ~all mass → the kernel's window-advance loop must
-    skip many zero-coverage chunks in a single subtile (and resume
-    correctly afterwards)."""
-    n = 24571  # several grid steps, ragged tail, ~12 chunks
+    skip zero-coverage chunks in a single subtile (and resume correctly
+    afterwards). heavy_at = 8191/16383 put the covering particle exactly at
+    a chunk's last slot, exercising the boundary-carry path."""
+    n = 24571  # several grid steps, ragged tail, 3 chunks
     w = np.full(n, 1e-9)
     w[heavy_at] = 1.0
     w /= w.sum()
