@@ -128,6 +128,16 @@ def main():
         cpu_pps = measure_cpu_reference()
     except Exception:  # pragma: no cover
         cpu_pps = measure_cpu_reference(n_particles=1 << 18)
+    # Achieved HBM bandwidth (traffic model, f32 @ 2^20, D=1):
+    #   update: likelihood reads locs + reads/writes log-weights + fused
+    #     evidence/ESS reductions ≈ 5 passes × 4 MB = 20 MB;
+    #   resample: cdf/cumsum ≈ 3×8 MB + expand kernel streams (6 B/particle
+    #     starts-planes + 6 B values-planes + 4 B out) + moments/smear ≈
+    #     6×4 MB  → ≈ 64 MB. 50 updates + ~7 resamples ≈ 1.45 GB.
+    n_resamples = 7
+    bytes_moved = (N_EXP * 5 * 4 + n_resamples * 64) * N_PARTICLES
+    elapsed = N_PARTICLES * N_EXP / tpu_pps
+    gbps = bytes_moved / elapsed / 1e9
     print(
         json.dumps(
             {
@@ -135,6 +145,8 @@ def main():
                 "value": tpu_pps,
                 "unit": "particle-updates/s",
                 "vs_baseline": tpu_pps / cpu_pps,
+                "hbm_gbps": round(gbps, 1),
+                "hbm_util_pct_of_819": round(100 * gbps / 819.0, 2),
             }
         )
     )

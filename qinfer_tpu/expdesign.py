@@ -56,9 +56,9 @@ class ExperimentDesigner:
         model = updater.model
 
         def objective_core(state, field_value, ep_rest, outcomes, field,
-                           cost_scale_k, cost_mult):
+                           field_shape, cost_scale_k, cost_mult):
             ep = dict(ep_rest)
-            ep[field] = field_value.reshape(1)
+            ep[field] = field_value.reshape(field_shape)
             risk = bayes_risk_fn(model, state, ep, model.Q,
                                  outcomes=outcomes)[0]
             cost = model.experiment_cost(ep)[0]
@@ -68,7 +68,7 @@ class ExperimentDesigner:
 
         self._value_and_grad = jax.jit(
             jax.value_and_grad(objective_core, argnums=1),
-            static_argnames=("field", "cost_mult"),
+            static_argnames=("field", "field_shape", "cost_mult"),
         )
 
     def new_exp(self):
@@ -80,11 +80,22 @@ class ExperimentDesigner:
                                disp=False, maxiter: Optional[int] = None,
                                maxfun: Optional[int] = None,
                                store_guess=False, grad_h=None,
-                               cost_mult=False):
+                               cost_mult=False, project=None):
         """Optimize ``field`` of the guessed expparams against Bayes risk.
 
         ``guess`` may be an expparams dict (field arrays of length 1) or a
-        Heuristic instance/class to draw the starting point from.
+        Heuristic instance/class to draw the starting point from. The
+        designed field may be SCALAR (shape (1,)) or a VECTOR (shape
+        (1, K), e.g. a tomography measurement effect) — the exact jax.grad
+        risk gradient makes vector design as cheap as scalar (the
+        reference is scalar-only because of finite differencing).
+
+        ``project`` (optional): callable mapping a flat float64 candidate
+        onto the feasible set (e.g. the Bloch ball for tomography
+        effects); applied to the initial guess and to every objective
+        evaluation, so the optimizer's iterates are scored at feasible
+        points.
+
         Reference: ``expdesign.py —
         ExperimentDesigner.design_expparams_field`` (``grad_h`` accepted
         for API parity; gradients here are exact via jax.grad).
@@ -111,15 +122,22 @@ class ExperimentDesigner:
 
         state = self._updater.state
         ep_rest = {k: v for k, v in ep_guess.items() if k != field}
-        x0 = np.asarray(ep_guess[field], dtype=np.float64).reshape(1)
+        field_arr = np.asarray(ep_guess[field], dtype=np.float64)
+        # Scalar field → (1,); vector field (1, K) keeps its trailing dims.
+        field_shape = (1,) if field_arr.ndim <= 1 else (1,) + field_arr.shape[1:]
+        x0 = field_arr.reshape(-1)
+        if project is not None:
+            x0 = np.asarray(project(x0), dtype=np.float64).reshape(-1)
         # Outcome enumeration host-side (data-dependent outcome counts,
         # e.g. BinomialModel, cannot enumerate from traced expparams).
         outcomes = self._updater.model.all_outcomes(ep_guess)
 
         def f(x):
+            if project is not None:
+                x = np.asarray(project(x), dtype=np.float64).reshape(-1)
             val, grad = self._value_and_grad(
                 state, jnp.asarray(x, jnp.float32), ep_rest, outcomes,
-                field, float(cost_scale_k), bool(cost_mult),
+                field, field_shape, float(cost_scale_k), bool(cost_mult),
             )
             return float(val), np.asarray(grad, dtype=np.float64)
 
@@ -150,8 +168,10 @@ class ExperimentDesigner:
         if disp:
             print(res)
 
-        x_best = np.asarray(res.x, dtype=np.float64).reshape(1)
-        cost_best = float(res.fun)
+        x_best = np.asarray(res.x, dtype=np.float64).reshape(-1)
+        if project is not None:
+            x_best = np.asarray(project(x_best), dtype=np.float64).reshape(-1)
+        cost_best = f(x_best)[0] if project is not None else float(res.fun)
         # Keep the guess if optimization failed to improve it.
         f0 = f(x0)[0]
         if not np.isfinite(cost_best) or cost_best > f0:
@@ -167,5 +187,5 @@ class ExperimentDesigner:
                 x_best = min(self._guesses, key=lambda g: g[0])[1]
 
         out = dict(ep_rest)
-        out[field] = jnp.asarray(x_best, jnp.float32)
+        out[field] = jnp.asarray(x_best.reshape(field_shape), jnp.float32)
         return out

@@ -199,7 +199,7 @@ class LiuWestResampler(Resampler):
     # Pallas expand kernel for the index-draw+pick: 2× the XLA blocked
     # pick at 1M particles (14.4→7.2 ms measured, and ~D× better for
     # multi-parameter models since all columns share one rank pass).
-    # None = auto: on for single-device TPU at n ∈ [2^19, 2^24) (the
+    # None = auto: on for single-device TPU at n ∈ [2^17, 2^24) (the
     # one-time ~30 s Mosaic compile only pays off for big-N runs; under
     # GSPMD sharding the shard_map path has its own distributed pick).
     # True/False force it on/off.
@@ -228,7 +228,7 @@ class LiuWestResampler(Resampler):
             use_expand = (
                 jax.default_backend() == "tpu"
                 and jax.device_count() == 1
-                and (1 << 19) <= n < (1 << 24)
+                and (1 << 17) <= n < (1 << 24)
             )
         else:
             use_expand = bool(self.use_expand_kernel)
@@ -283,8 +283,14 @@ class LiuWestResampler(Resampler):
 
         # Fallback: clamp stragglers to the valid region (reference warns
         # via ResamplerWarning and keeps them; clamping is strictly safer).
-        clamped = model.canonicalize(new_locs)
-        return jnp.where(ok[:, None], new_locs, clamped)
+        # Lazy: canonicalize can be expensive (tomography's PSD projection
+        # is a batched eigh) and the common case has no stragglers.
+        return jax.lax.cond(
+            jnp.all(ok),
+            lambda x: x,
+            lambda x: jnp.where(ok[:, None], x, model.canonicalize(x)),
+            new_locs,
+        )
 
 
 class ClusteringResampler(Resampler):

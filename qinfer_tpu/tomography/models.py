@@ -5,8 +5,11 @@ Reference parity: ``src/qinfer/tomography/models.py`` — ``TomographyModel``
 ``DiffusiveTomographyModel``.
 
 The likelihood is a (N, d²) × (d², E) matvec — pure MXU work. Positivity
-checks are batched ``eigvalsh`` over (N, d, d) with d ≤ ~8 (SURVEY §7
-hard part (f)).
+checks are eigendecomposition-FREE: a Newton-identities characteristic-
+polynomial test over the real embedding (batched ``eigvalsh`` is ~100×
+slower on TPU at SMC particle counts; SURVEY §7 hard part (f)).
+Eigendecompositions remain only in ``canonicalize`` (the PSD projection
+needs eigenvectors), which the resampler invokes lazily.
 """
 
 from __future__ import annotations
@@ -20,6 +23,54 @@ from ..models.base import FiniteOutcomeModel, expparams_field
 from .bases import TomographyBasis
 
 __all__ = ["TomographyModel", "DiffusiveTomographyModel"]
+
+
+def _psd_via_charpoly(M, tol):
+    """All eigenvalues of symmetric ``M`` ≥ −tol, with NO eigendecomposition.
+
+    Shift: eig(M) ≥ −tol ⟺ eig(M + tol·I) ≥ 0 ⟺ (real-rooted char poly)
+    every elementary symmetric polynomial e_k of the shifted spectrum is
+    ≥ 0; the e_k come from the power sums p_k = Tr((M+tol·I)^k) via
+    Newton's identities. Cost: m−1 batched (m, m) matmuls — measured ~100×
+    cheaper than batched ``eigvalsh`` at SMC particle counts on TPU, where
+    the Jacobi eigensolver dominates the resampler's postselection loop.
+    """
+    m = M.shape[-1]
+    Mp = M + tol * jnp.eye(m, dtype=M.dtype)
+
+    # Batched tiny matmuls lower terribly on TPU (measured: 4.7 ms for one
+    # 262k-batch 4×4 einsum vs ~0.05 ms for this unrolled broadcast-sum,
+    # which XLA fuses into elementwise passes).
+    def mm(A, B):
+        return sum(
+            A[..., :, j : j + 1] * B[..., j : j + 1, :] for j in range(m)
+        )
+
+    # Powers M, M², …, M^ceil(m/2); p_k = Tr(M^a M^b) = Σ M^a ∘ M^b for
+    # a + b = k (powers of a symmetric matrix are symmetric).
+    pows = [Mp]
+    while len(pows) < (m + 1) // 2:  # max power needed: b = k − k//2 ≤ ⌈m/2⌉
+        pows.append(mm(pows[-1], Mp))
+    ps = []
+    for k in range(1, m + 1):
+        if k == 1:
+            ps.append(jnp.trace(Mp, axis1=-2, axis2=-1))
+        else:
+            a, b = k // 2, k - k // 2
+            ps.append(jnp.sum(pows[a - 1] * pows[b - 1], axis=(-2, -1)))
+    es = [jnp.ones_like(ps[0])]
+    ok = None
+    for k in range(1, m + 1):
+        acc = jnp.zeros_like(ps[0])
+        sign = 1.0
+        for i in range(1, k + 1):
+            acc = acc + sign * es[k - i] * ps[i - 1]
+            sign = -sign
+        e_k = acc / k
+        es.append(e_k)
+        ok_k = e_k >= -1e-6
+        ok = ok_k if ok is None else ok & ok_k
+    return ok
 
 
 @jax.tree_util.register_static
@@ -68,8 +119,7 @@ class TomographyModel(FiniteOutcomeModel):
         multiplicity — because the TPU backend has no complex dtype.
         """
         M = self.basis.real_embedding(modelparams)
-        evals = jnp.linalg.eigvalsh(M)
-        psd = jnp.all(evals >= -self.psd_tol, axis=-1)
+        psd = _psd_via_charpoly(M, self.psd_tol)
         trace_target = 1.0 / jnp.sqrt(jnp.float32(self.dim))
         if self.allow_subnormalized:
             tr_ok = modelparams[:, 0] <= trace_target + 1e-5
@@ -85,6 +135,8 @@ class TomographyModel(FiniteOutcomeModel):
 
         Reference: ``TomographyModel.canonicalize``.
         """
+        if self.dim == 2:
+            return self._canonicalize_qubit(modelparams)
         M = self.basis.real_embedding(modelparams)
         evals, evecs = jnp.linalg.eigh(M)
         # Floor at psd_tol (not 0): the f32 reconstruct→re-diagonalize
@@ -99,6 +151,27 @@ class TomographyModel(FiniteOutcomeModel):
             "...ab,...b,...cb->...ac", evecs, evals, evecs
         )
         return self.basis.coords_from_embedding(M_fixed)
+
+    def _canonicalize_qubit(self, modelparams):
+        """Closed-form qubit PSD projection — identical to the eigh path.
+
+        In any orthonormal basis with B₀ = I/√2, ρ = I/2 + T with
+        ‖T‖_F = ‖x₁:‖ and 2×2 traceless Hermitian T has eigenvalues ±τ,
+        τ = ‖x₁:‖/√2 — so eigenvalue clip + trace renormalization is just
+        a rescale of the non-identity coordinates. Batched eigh of the
+        embedding costs ~450 ms at 262k particles on TPU; this is one
+        elementwise pass.
+        """
+        y = modelparams[:, 1:]
+        tau = jnp.linalg.norm(y, axis=1) / jnp.sqrt(jnp.float32(2.0))
+        lam_p = jnp.clip(0.5 + tau, self.psd_tol)
+        lam_m = jnp.clip(0.5 - tau, self.psd_tol)
+        tau_new = 0.5 * (lam_p - lam_m) / (lam_p + lam_m)
+        scale = jnp.where(tau > 1e-12, tau_new / jnp.maximum(tau, 1e-12),
+                          1.0)
+        x0 = jnp.full_like(modelparams[:, :1],
+                           1.0 / jnp.sqrt(jnp.float32(2.0)))
+        return jnp.concatenate([x0, y * scale[:, None]], axis=1)
 
     # Convenience mirrors of the reference helpers.
     def trace(self, modelparams):

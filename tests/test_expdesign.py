@@ -169,3 +169,77 @@ def test_bcrb_with_binomial_model():
         u.update(out, ep)
     bim = np.asarray(u.current_bim)
     assert np.isfinite(bim).all() and bim[0, 0] > 1.0
+
+
+def test_designer_vector_field_multicos():
+    """Vector-valued expparams fields (MultiCos 'ts', shape (1, 2)) are
+    designable — the exact jax.grad risk gradient makes this free."""
+    model = qi.MultiCosModel(n_terms=2)
+    prior = qi.UniformDistribution([[0.0, 1.0], [0.0, 1.0]])
+    u = qi.SMCUpdater(model, 2000, prior, seed=5)
+    rng = np.random.default_rng(5)
+    for k in range(12):
+        ep = {"ts": jnp.asarray(
+            rng.random((1, 2)) * (9 / 8) ** k, jnp.float32)}
+        out = model.simulate_experiment(
+            jax.random.PRNGKey(80 + k), jnp.array([[0.3, 0.7]]), ep
+        )[0, 0, 0]
+        u.update(out, ep)
+
+    designer = qi.ExperimentDesigner(u)
+    guess = {"ts": jnp.array([[1.0, 2.0]], jnp.float32)}
+    risk_guess = float(u.bayes_risk(guess))
+    designed = designer.design_expparams_field(
+        guess, "ts", cost_scale_k=0.0, maxiter=20
+    )
+    assert designed["ts"].shape == (1, 2)
+    risk_designed = float(u.bayes_risk(designed))
+    assert risk_designed <= risk_guess + 1e-9
+
+
+def test_designer_tomography_meas_with_projection():
+    """Design a tomography measurement effect under the Bloch-ball
+    projection; the designed effect must stay a valid POVM element and not
+    be worse than the guess."""
+    from qinfer_tpu.tomography import (
+        GinibreDistribution,
+        TomographyModel,
+        pauli_basis,
+    )
+
+    basis = pauli_basis(1)
+    model = TomographyModel(basis)
+    prior = GinibreDistribution(basis)
+    u = qi.SMCUpdater(model, 2000, prior, seed=9)
+    e_z = np.zeros(4, np.float32)
+    e_z[0] = 1 / np.sqrt(2) / 2
+    e_z[3] = 1 / np.sqrt(2) / 2  # projector onto |0>
+    rng = np.random.default_rng(9)
+    for k in range(10):
+        out = jnp.int32(rng.integers(0, 2))
+        u.update(out, {"meas": jnp.asarray(e_z)[None, :]})
+
+    def project_effect(x):
+        # Effect E = x·B: clamp to 0 <= E <= I by shrinking the traceless
+        # part into the Bloch ball of the midpoint.
+        x = np.array(x, np.float64)
+        x[0] = 1 / np.sqrt(2) / 2  # Tr E = 1/2 family
+        r = np.linalg.norm(x[1:]) * np.sqrt(2) * 2
+        if r > 1.0:
+            x[1:] *= 1.0 / r
+        return x
+
+    designer = qi.ExperimentDesigner(u)
+    guess = {"meas": jnp.asarray(project_effect(
+        np.array([0.35, 0.3, 0.1, 0.2])))[None, :].astype(jnp.float32)}
+    risk_guess = float(u.bayes_risk(guess))
+    designed = designer.design_expparams_field(
+        guess, "meas", cost_scale_k=0.0, maxiter=15,
+        project=project_effect,
+    )
+    assert designed["meas"].shape == (1, 4)
+    risk_designed = float(u.bayes_risk(designed))
+    assert risk_designed <= risk_guess + 1e-9
+    # Designed effect is physical: 0 <= E <= I on the Bloch ball.
+    e = np.asarray(designed["meas"], np.float64)[0]
+    assert np.linalg.norm(e[1:]) * np.sqrt(2) * 2 <= 1.0 + 1e-6

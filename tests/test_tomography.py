@@ -233,3 +233,64 @@ def test_diffusive_tomography(key):
     assert stepped.shape == (20, 5, 1)
     # Evolved states remain physical.
     assert np.asarray(model.are_models_valid(stepped[:, :, 0])).all()
+
+
+@pytest.mark.parametrize("n_qubits", [1, 2])
+def test_charpoly_psd_matches_eigvalsh(n_qubits, key):
+    """The Newton-identities PSD test (no eigendecomposition — the TPU
+    resampler hot path) must agree with eigvalsh on valid states, clearly
+    invalid coordinates, and near-boundary (nearly pure) states."""
+    from qinfer_tpu.tomography.models import _psd_via_charpoly
+
+    basis = pauli_basis(n_qubits)
+    model = qi.tomography.TomographyModel(basis)
+    prior = GinibreDistribution(basis)
+    rng = np.random.default_rng(7 + n_qubits)
+
+    valid = np.asarray(prior.sample(key, 64))
+    # Nearly pure states: shrink toward a random pure state's coordinates.
+    pure = valid[:8] / np.linalg.norm(valid[:8], axis=1, keepdims=True)
+    d = basis.dim
+    pure = pure * 0  # rebuild: mix boundary = valid coords pushed outward
+    boundary = valid[:16] * 1.0
+    boundary[:, 1:] *= (1.0 / np.maximum(
+        np.linalg.norm(boundary[:, 1:], axis=1, keepdims=True), 1e-9
+    )) * boundary[:, :1]  # Bloch-ball surface scaling (exact for 1 qubit)
+    junk = valid[:16].copy()
+    junk[:, 1:] *= 3.0  # far outside the cone
+    cases = np.concatenate([valid, boundary, junk]).astype(np.float32)
+
+    M = np.asarray(model.basis.real_embedding(jnp.asarray(cases)))
+    evals = np.linalg.eigvalsh(M)
+    ref = (evals >= -model.psd_tol).all(axis=-1)
+    got = np.asarray(_psd_via_charpoly(jnp.asarray(M), model.psd_tol))
+    # Tolerance semantics may differ within ~1e-5 of the boundary; compare
+    # on cases that are decisively inside/outside.
+    decisive = np.abs(evals.min(axis=-1) + model.psd_tol) > 1e-4
+    np.testing.assert_array_equal(got[decisive], ref[decisive])
+    assert decisive.sum() > len(cases) * 0.7
+
+
+def test_qubit_canonicalize_matches_eigh_path(key):
+    """The closed-form Bloch projection must equal the generic
+    eigh-of-embedding projection (which dim>2 still uses)."""
+    basis = pauli_basis(1)
+    model = qi.tomography.TomographyModel(basis)
+    rng = np.random.default_rng(11)
+    # Mix of valid, boundary, and far-outside coordinates.
+    x = rng.standard_normal((64, 4)).astype(np.float32) * 0.6
+    x[:, 0] = 1 / np.sqrt(2)
+    xj = jnp.asarray(x)
+
+    fast = np.asarray(model._canonicalize_qubit(xj))
+
+    M = np.asarray(model.basis.real_embedding(xj)).astype(np.float64)
+    evals, evecs = np.linalg.eigh(M)
+    evals = np.clip(evals, model.psd_tol, None)
+    evals = 2.0 * evals / evals.sum(axis=-1, keepdims=True)
+    M_fixed = np.einsum("nab,nb,ncb->nac", evecs, evals, evecs)
+    slow = np.asarray(model.basis.coords_from_embedding(
+        jnp.asarray(M_fixed, jnp.float32)))
+
+    np.testing.assert_allclose(fast, slow, atol=2e-5)
+    assert np.asarray(model.are_models_valid(jnp.asarray(fast))).all()
