@@ -66,6 +66,31 @@ class SimplePrecessionModel(FiniteOutcomeModel):
         arg = 0.5 * omega[:, None] * t[None, :]
         return jnp.cos(arg) ** 2
 
+    def fused_update(self, outcome, log_w, modelparams, expparams,
+                     interpret=None):
+        """(log_w', log_norm, ess) in one fused Pallas pass (E must be 1).
+
+        The engine routes single-experiment updates through this on TPU
+        (``SMCConfig.use_fused_update``); semantics are identical to the
+        XLA path (equality-tested in tests/test_pallas_ops.py). Reference:
+        ``gpu_models.py — AcceleratedPrecessionModel`` (the reference's
+        embedded OpenCL kernel computes the same per-particle cos²
+        likelihood; here it is the general fused-update kernel of
+        ``ops/fused_update.py``).
+        """
+        from ..ops.fused_update import fused_bayes_update, precession_tile_fn
+
+        t = jnp.asarray(
+            expparams_field(expparams, "t"), jnp.float32
+        ).reshape(-1)[0]
+        scalars = jnp.stack(
+            [jnp.asarray(outcome, jnp.float32).reshape(()), t]
+        )
+        return fused_bayes_update(
+            precession_tile_fn, scalars, log_w, (modelparams[:, 0],),
+            interpret=interpret,
+        )
+
 
 @jax.tree_util.register_static
 @dataclass(frozen=True, eq=False)

@@ -184,15 +184,17 @@ def _expand_kernel(*refs, n_cols, t_size):
             )
 
             # Level 1: how many groups lie fully at/below this stratum.
+            # (bf16 compare buffers: integer counts ≤ G are bf16-exact
+            # and the halved VMEM footprint lets t_size stay large.)
             fg = jnp.sum(
-                (gmax <= row).astype(jnp.float32), axis=1, keepdims=True
-            )  # (T, 1), in [0, G]
+                (gmax <= row).astype(jnp.bfloat16), axis=1, keepdims=True
+            ).astype(jnp.float32)  # (T, 1), in [0, G]
             oh_fg = (fg == g_iota).astype(jnp.bfloat16)  # (T, G)
             # Level 2: rank within the (fg)-th group via MXU column-select.
             s2 = select3(oh_fg, slot, 0)  # (T, GS) — group fg's starts
             r_lo = jnp.sum(
-                (s2 <= row).astype(jnp.float32), axis=1, keepdims=True
-            )
+                (s2 <= row).astype(jnp.bfloat16), axis=1, keepdims=True
+            ).astype(jnp.float32)
             r = jnp.minimum(_GS * fg + r_lo, float(_W))  # (T, 1)
 
             cc = r - 1.0  # local covering index; −1 → boundary carry
@@ -304,7 +306,8 @@ def _expand_cols(starts_padded, cols_padded, n_out, interpret):
     n_streams = _N_PLANES * (1 + n_cols)
     # The (t_size, ·) intermediates live on the 16 MB VMEM stack and scale
     # with the column count — shrink the subtile as columns grow (measured:
-    # n_cols=4 at t_size=2048 overflows by ~0.9 MB).
+    # n_cols=4 at t_size=2048 overflows by ~0.9 MB). Fewer, larger subtiles
+    # amortize per-visit fixed costs (gmax prep, loop/DMA bookkeeping).
     if n_cols <= 2:
         t_size = _T
     elif n_cols <= 9:

@@ -76,6 +76,10 @@ class SMCConfig:
     zero_weight_policy: str = "error"  # 'error' | 'warn' | 'reset' | 'ignore'
     zero_weight_thresh: float = 1e-10
     canonicalize: bool = True
+    # Fused Pallas update (models exposing ``fused_update``): None = auto
+    # (on for TPU backends — measured 0.024 ms vs 0.22 ms XLA at 2^20);
+    # True forces it (interpret mode on CPU), False disables.
+    use_fused_update: Optional[bool] = None
 
 
 def init_smc_state(key, model, n_particles: int, prior: Distribution) -> SMCState:
@@ -140,20 +144,39 @@ def smc_update_step(model, resampler, config: SMCConfig, state: SMCState,
         outcome_arr = outcome.reshape(1, outcome.shape[-1])
     else:
         outcome_arr = jnp.atleast_1d(outcome)[:1]
-    log_L = model.log_likelihood(
-        outcome_arr, state.particle_locations, expparams
-    )[0, :, 0]  # (N,)
-    log_L = jnp.clip(log_L, _LOG_TINY)  # lower only — densities may be > 1
-    log_w_new = state.particle_log_weights + log_L
-    # One shared max feeds both reductions; ESS = s1²/s2 comes out of the
-    # same pass as the evidence, avoiding a second normalized sweep.
-    m = jnp.max(log_w_new)
-    shifted = jnp.exp(log_w_new - m)
-    s1 = jnp.sum(shifted)
-    s2 = jnp.sum(shifted * shifted)
-    log_norm = m + jnp.log(s1)
-    log_w_norm = log_w_new - log_norm
-    ess = s1 * s1 / s2
+    use_fused = (
+        hasattr(model, "fused_update")
+        and (
+            config.use_fused_update
+            if config.use_fused_update is not None
+            # Auto: single-device TPU only — under GSPMD sharding the
+            # pallas_call would force a gather; shard_map has its own path.
+            else jax.default_backend() == "tpu" and jax.device_count() == 1
+        )
+    )
+    if use_fused:
+        # Single-pass Pallas kernel: likelihood + weight update + both
+        # streaming logsumexp reductions (evidence, ESS) in one sweep over
+        # the particle bank — measured 0.024 ms vs 0.22 ms XLA at 2^20.
+        log_w_norm, log_norm, ess = model.fused_update(
+            outcome_arr[0], state.particle_log_weights,
+            state.particle_locations, expparams,
+        )
+    else:
+        log_L = model.log_likelihood(
+            outcome_arr, state.particle_locations, expparams
+        )[0, :, 0]  # (N,)
+        log_L = jnp.clip(log_L, _LOG_TINY)  # lower only — densities may be > 1
+        log_w_new = state.particle_log_weights + log_L
+        # One shared max feeds both reductions; ESS = s1²/s2 comes out of
+        # the same pass as the evidence, avoiding a second normalized sweep.
+        m = jnp.max(log_w_new)
+        shifted = jnp.exp(log_w_new - m)
+        s1 = jnp.sum(shifted)
+        s2 = jnp.sum(shifted * shifted)
+        log_norm = m + jnp.log(s1)
+        log_w_norm = log_w_new - log_norm
+        ess = s1 * s1 / s2
 
     # Zero-weight (total weight collapse) handling — SURVEY §5.3.
     is_zero = log_norm < jnp.log(config.zero_weight_thresh)

@@ -157,3 +157,30 @@ def test_resampler_expand_flag_forced(key):
     w_np = np.asarray(jnp.exp(log_w - logsumexp(log_w)))
     mean_before = w_np @ np.asarray(locs)
     np.testing.assert_allclose(new.mean(0), mean_before, atol=0.02)
+
+
+def test_engine_fused_update_route_matches_xla(key):
+    """smc_update_step with SMCConfig(use_fused_update=True) must produce
+    the same posterior state as the XLA path (the TPU default route)."""
+    from qinfer_tpu.smc import SMCConfig, init_smc_state, smc_update_step
+
+    model = qi.SimplePrecessionModel()
+    prior = qi.UniformDistribution([0.0, 1.0])
+    rs = qi.LiuWestResampler()
+    st0 = qi.init_smc_state(jax.random.PRNGKey(0), model, 4096, prior)
+
+    cfg_x = SMCConfig(zero_weight_policy="reset", use_fused_update=False)
+    cfg_f = SMCConfig(zero_weight_policy="reset", use_fused_update=True)
+    ep = {"t": jnp.array([5.0], jnp.float32)}
+    st_x, ln_x = smc_update_step(model, rs, cfg_x, st0, jnp.int32(1), ep)
+    st_f, ln_f = smc_update_step(model, rs, cfg_f, st0, jnp.int32(1), ep)
+    np.testing.assert_allclose(float(ln_x), float(ln_f), atol=1e-5)
+    # (atol 1e-4: the streaming and the two-pass logsumexp sum in
+    # different orders — pure f32 rounding noise.)
+    np.testing.assert_allclose(
+        np.asarray(st_x.particle_log_weights),
+        np.asarray(st_f.particle_log_weights), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(st_x.min_n_ess), float(st_f.min_n_ess), rtol=1e-4
+    )
