@@ -265,6 +265,44 @@ class FiniteOutcomeModel(Model):
             "Models with >2 outcomes must override log_likelihood."
         )
 
+    # -- fused single-pass update (TPU) -----------------------------------
+
+    def _fused_pr1_parts(self, modelparams, expparams):
+        """Optional fused-kernel spec: (pr1_fn, scalars_tail, param_cols)
+        with ``pr1_fn(scal_ref, scal_offset, *tiles) -> Pr(1) tile``.
+
+        Models that override this get the single-pass Pallas Bayes update
+        (likelihood + weight update + streaming evidence/ESS) routed
+        automatically by the SMC engine on TPU — the general mechanism
+        replacing the reference's hard-coded OpenCL kernel
+        (``gpu_models.py — AcceleratedPrecessionModel``)."""
+        return None
+
+    @property
+    def fused_update_supported(self):
+        cls = type(self)
+        return cls._fused_pr1_parts is not FiniteOutcomeModel._fused_pr1_parts
+
+    def fused_update(self, outcome, log_w, modelparams, expparams,
+                     interpret=None):
+        """(log_w', log_norm, ess) in one fused Pallas pass (E must be 1);
+        equality with the XLA path is tested in tests/test_pallas_ops.py."""
+        from ..ops.fused_update import fused_bayes_update, two_outcome_tile
+
+        parts = self._fused_pr1_parts(modelparams, expparams)
+        if parts is None:
+            raise NotImplementedError(
+                "model does not define _fused_pr1_parts"
+            )
+        pr1_fn, tail, cols = parts
+        scalars = jnp.concatenate(
+            [jnp.asarray(outcome, jnp.float32).reshape(1), tail]
+        )
+        return fused_bayes_update(
+            two_outcome_tile(pr1_fn), scalars, log_w, cols,
+            interpret=interpret,
+        )
+
     def n_outcomes(self, expparams: ExpParams = None) -> int:
         return 2
 

@@ -137,6 +137,37 @@ class BinomialModel(DerivedModel):
             n_meas[None, None, :], k[:, None, None], p1[None, :, :]
         )
 
+    @property
+    def fused_update_supported(self):
+        return getattr(
+            self.underlying_model, "fused_update_supported", False
+        )
+
+    def fused_update(self, outcome, log_w, modelparams, expparams,
+                     interpret=None):
+        """Fused binomial update: the underlying two-outcome model's pr1
+        tile + the in-kernel binomial log-pmf (coefficient precomputed in
+        XLA). Equality-tested against the XLA path."""
+        from jax.scipy.special import gammaln
+
+        from ..ops.fused_update import binomial_tile, fused_bayes_update
+
+        pr1_fn, tail, cols = self.underlying_model._fused_pr1_parts(
+            modelparams, expparams
+        )
+        n = jnp.asarray(
+            expparams_field(expparams, "n_meas"), jnp.float32
+        ).reshape(-1)[0]
+        k = jnp.asarray(outcome, jnp.float32).reshape(())
+        log_c = gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)
+        scalars = jnp.concatenate(
+            [jnp.stack([k, n, log_c]), tail]
+        )
+        return fused_bayes_update(
+            binomial_tile(pr1_fn), scalars, log_w, cols,
+            interpret=interpret,
+        )
+
     def simulate_experiment(self, key, modelparams, expparams, repeat=1):
         self._bump_sim_count(modelparams, expparams, repeat)
         n_meas = jnp.asarray(

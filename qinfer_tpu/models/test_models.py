@@ -66,30 +66,17 @@ class SimplePrecessionModel(FiniteOutcomeModel):
         arg = 0.5 * omega[:, None] * t[None, :]
         return jnp.cos(arg) ** 2
 
-    def fused_update(self, outcome, log_w, modelparams, expparams,
-                     interpret=None):
-        """(log_w', log_norm, ess) in one fused Pallas pass (E must be 1).
-
-        The engine routes single-experiment updates through this on TPU
-        (``SMCConfig.use_fused_update``); semantics are identical to the
-        XLA path (equality-tested in tests/test_pallas_ops.py). Reference:
-        ``gpu_models.py — AcceleratedPrecessionModel`` (the reference's
-        embedded OpenCL kernel computes the same per-particle cos²
-        likelihood; here it is the general fused-update kernel of
-        ``ops/fused_update.py``).
-        """
-        from ..ops.fused_update import fused_bayes_update, precession_tile_fn
+    def _fused_pr1_parts(self, modelparams, expparams):
+        """Fused single-pass update spec (engine default on TPU).
+        Reference: ``gpu_models.py — AcceleratedPrecessionModel`` (the
+        reference's embedded OpenCL kernel computes the same per-particle
+        cos² likelihood)."""
+        from ..ops.fused_update import precession_pr1
 
         t = jnp.asarray(
             expparams_field(expparams, "t"), jnp.float32
-        ).reshape(-1)[0]
-        scalars = jnp.stack(
-            [jnp.asarray(outcome, jnp.float32).reshape(()), t]
-        )
-        return fused_bayes_update(
-            precession_tile_fn, scalars, log_w, (modelparams[:, 0],),
-            interpret=interpret,
-        )
+        ).reshape(-1)[:1]
+        return precession_pr1, t, (modelparams[:, 0],)
 
 
 @jax.tree_util.register_static
@@ -300,6 +287,15 @@ class MultiCosModel(FiniteOutcomeModel):
         arg = 0.5 * (modelparams @ ts.T)  # (N, E)
         return jnp.cos(arg) ** 2
 
+    def _fused_pr1_parts(self, modelparams, expparams):
+        from ..ops.fused_update import make_multicos_pr1
+
+        ts = jnp.asarray(
+            expparams_field(expparams, "ts"), jnp.float32
+        ).reshape(-1)[: self.n_terms]
+        cols = tuple(modelparams[:, i] for i in range(self.n_terms))
+        return make_multicos_pr1(self.n_terms), ts, cols
+
 
 @jax.tree_util.register_static
 @dataclass(frozen=True, eq=False)
@@ -339,3 +335,11 @@ class KnownT2PrecessionModel(FiniteOutcomeModel):
         decay = jnp.exp(-t / self.t2)[None, :]
         coherent = jnp.cos(0.5 * omega[:, None] * t[None, :]) ** 2
         return decay * coherent + 0.5 * (1.0 - decay)
+
+    def _fused_pr1_parts(self, modelparams, expparams):
+        from ..ops.fused_update import make_known_t2_pr1
+
+        t = jnp.asarray(
+            expparams_field(expparams, "t"), jnp.float32
+        ).reshape(-1)[:1]
+        return make_known_t2_pr1(float(self.t2)), t, (modelparams[:, 0],)

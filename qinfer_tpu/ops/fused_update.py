@@ -23,7 +23,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_bayes_update", "precession_tile_fn"]
+__all__ = [
+    "fused_bayes_update", "precession_tile_fn", "two_outcome_tile",
+    "binomial_tile", "precession_pr1", "make_multicos_pr1",
+    "make_known_t2_pr1", "rb_pr1", "make_born_pr1",
+]
 
 _NEG_BIG = -3.0e38
 
@@ -150,3 +154,95 @@ def precession_tile_fn(scal_ref, omega_tile):
     pr0 = c * c
     pr = jnp.where(outcome == 0.0, pr0, 1.0 - pr0)
     return jnp.log(jnp.clip(pr, 1e-35))
+
+
+# ---------------------------------------------------------------------------
+# Generic tile builders: any two-outcome model supplies a pr1 function
+# ``pr1_fn(scal_ref, scal_offset, *param_tiles) -> Pr(outcome 1) tile`` via
+# ``FiniteOutcomeModel._fused_pr1_parts`` and gets the fused path — the
+# TPU-general replacement for the reference's single hard-coded OpenCL
+# kernel (``gpu_models.py``).
+# ---------------------------------------------------------------------------
+
+def two_outcome_tile(pr1_fn):
+    """scalars = [outcome, *pr1_scalars]."""
+
+    def tile_fn(scal_ref, *tiles):
+        outcome = scal_ref[0]
+        pr1 = pr1_fn(scal_ref, 1, *tiles)
+        pr = jnp.where(outcome == 1.0, pr1, 1.0 - pr1)
+        return jnp.log(jnp.clip(pr, 1e-35))
+
+    return tile_fn
+
+
+def binomial_tile(pr1_fn):
+    """scalars = [k, n_meas, log C(n,k), *pr1_scalars]; the binomial
+    coefficient is precomputed in XLA (gammaln does not lower in-kernel).
+    k·log(clip(p)) reproduces xlogy's 0·log0 = 0 limit."""
+
+    def tile_fn(scal_ref, *tiles):
+        k = scal_ref[0]
+        n = scal_ref[1]
+        log_c = scal_ref[2]
+        p1 = jnp.clip(pr1_fn(scal_ref, 3, *tiles), 0.0, 1.0)
+        return (
+            log_c
+            + k * jnp.log(jnp.clip(p1, 1e-30))
+            + (n - k) * jnp.log(jnp.clip(1.0 - p1, 1e-30))
+        )
+
+    return tile_fn
+
+
+# -- pr1 tile functions for the built-in model zoo --------------------------
+
+def precession_pr1(scal_ref, off, omega):
+    """SimplePrecession: 1 − cos²(ωt/2); scalars tail = [t]."""
+    c = jnp.cos(0.5 * omega * scal_ref[off])
+    return 1.0 - c * c
+
+
+def make_multicos_pr1(n_terms):
+    """MultiCos: 1 − cos²(ω⃗·t⃗/2); scalars tail = ts (n_terms,)."""
+
+    def pr1(scal_ref, off, *omegas):
+        arg = omegas[0] * scal_ref[off]
+        for i in range(1, n_terms):
+            arg = arg + omegas[i] * scal_ref[off + i]
+        c = jnp.cos(0.5 * arg)
+        return 1.0 - c * c
+
+    return pr1
+
+
+def make_known_t2_pr1(t2):
+    """KnownT2 precession: 1 − (e^{−t/T2}cos²(ωt/2) + (1−e^{−t/T2})/2)."""
+
+    def pr1(scal_ref, off, omega):
+        t = scal_ref[off]
+        damp = jnp.exp(-t / t2)
+        c = jnp.cos(0.5 * omega * t)
+        return 1.0 - (damp * c * c + 0.5 * (1.0 - damp))
+
+    return pr1
+
+
+def rb_pr1(scal_ref, off, p, A, B):
+    """Standard RB: 1 − (A·pᵐ + B); pᵐ via exp(m·log p) (Mosaic has no
+    f32 pow); scalars tail = [m]."""
+    m = scal_ref[off]
+    decay = jnp.exp(m * jnp.log(jnp.clip(p, 1e-20, 1.0)))
+    return 1.0 - jnp.clip(A * decay + B, 0.0, 1.0)
+
+
+def make_born_pr1(n_cols):
+    """Tomography Born rule: Pr(1) = ⟨x, e⟩; scalars tail = meas (d²,)."""
+
+    def pr1(scal_ref, off, *xs):
+        acc = xs[0] * scal_ref[off]
+        for d in range(1, n_cols):
+            acc = acc + xs[d] * scal_ref[off + d]
+        return jnp.clip(acc, 0.0, 1.0)
+
+    return pr1

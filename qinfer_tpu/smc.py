@@ -144,15 +144,15 @@ def smc_update_step(model, resampler, config: SMCConfig, state: SMCState,
         outcome_arr = outcome.reshape(1, outcome.shape[-1])
     else:
         outcome_arr = jnp.atleast_1d(outcome)[:1]
-    use_fused = (
-        hasattr(model, "fused_update")
-        and (
-            config.use_fused_update
-            if config.use_fused_update is not None
-            # Auto: single-device TPU only — under GSPMD sharding the
-            # pallas_call would force a gather; shard_map has its own path.
-            else jax.default_backend() == "tpu" and jax.device_count() == 1
-        )
+    supported = getattr(model, "fused_update_supported", None)
+    if supported is None:
+        supported = hasattr(model, "fused_update")
+    use_fused = bool(supported) and (
+        config.use_fused_update
+        if config.use_fused_update is not None
+        # Auto: single-device TPU only — under GSPMD sharding the
+        # pallas_call would force a gather; shard_map has its own path.
+        else jax.default_backend() == "tpu" and jax.device_count() == 1
     )
     if use_fused:
         # Single-pass Pallas kernel: likelihood + weight update + both

@@ -111,6 +111,16 @@ class TomographyModel(FiniteOutcomeModel):
         pr1 = modelparams @ meas.T  # Born rule matvec (MXU)
         return jnp.clip(1.0 - pr1, 0.0, 1.0)
 
+    def _fused_pr1_parts(self, modelparams, expparams):
+        from ..ops.fused_update import make_born_pr1
+
+        n_el = self.basis.n_elements
+        meas = jnp.asarray(
+            expparams_field(expparams, "meas"), jnp.float32
+        ).reshape(-1)[:n_el]
+        cols = tuple(modelparams[:, d] for d in range(n_el))
+        return make_born_pr1(n_el), meas, cols
+
     def are_models_valid(self, modelparams):
         """ρ ⪰ 0 (eigvals ≥ −tol) and Tr ρ = 1 (x₀ = 1/√d).
 

@@ -184,3 +184,70 @@ def test_engine_fused_update_route_matches_xla(key):
     np.testing.assert_allclose(
         float(st_x.min_n_ess), float(st_f.min_n_ess), rtol=1e-4
     )
+
+
+def _zoo_cases():
+    from qinfer_tpu.tomography import (
+        GinibreDistribution,
+        TomographyModel,
+        pauli_basis,
+    )
+
+    rng = np.random.default_rng(0)
+    basis = pauli_basis(1)
+    e = np.zeros(4, np.float32)
+    e[0] = 1 / np.sqrt(2) / 2
+    e[1] = 1 / np.sqrt(2) / 2
+    return [
+        ("multicos", qi.MultiCosModel(n_terms=2),
+         qi.UniformDistribution([[0.0, 1.0], [0.0, 1.0]]),
+         jnp.int32(1), {"ts": jnp.array([[1.3, 0.4]], jnp.float32)}),
+        ("known_t2", qi.KnownT2PrecessionModel(t2=30.0),
+         qi.UniformDistribution([0.0, 1.0]),
+         jnp.int32(0), {"t": jnp.array([7.0], jnp.float32)}),
+        ("rb", qi.rb.RandomizedBenchmarkingModel(),
+         qi.UniformDistribution([[0.8, 1.0], [0.2, 0.5], [0.3, 0.5]]),
+         jnp.int32(1), {"m": jnp.array([32], jnp.int32)}),
+        ("binomial_precession", qi.BinomialModel(qi.SimplePrecessionModel()),
+         qi.UniformDistribution([0.0, 1.0]),
+         jnp.int32(11), {"t": jnp.array([2.0], jnp.float32),
+                         "n_meas": jnp.array([40], jnp.int32)}),
+        ("binomial_rb",
+         qi.BinomialModel(qi.rb.RandomizedBenchmarkingModel()),
+         qi.UniformDistribution([[0.8, 1.0], [0.2, 0.5], [0.3, 0.5]]),
+         jnp.int32(210), {"m": jnp.array([16], jnp.int32),
+                          "n_meas": jnp.array([300], jnp.int32)}),
+        ("tomography", TomographyModel(basis), GinibreDistribution(basis),
+         jnp.int32(1), {"meas": jnp.asarray(e)[None, :]}),
+    ]
+
+
+@pytest.mark.parametrize("case", _zoo_cases(), ids=lambda c: c[0])
+def test_fused_update_zoo_matches_xla(case):
+    """Every model exposing the fused pr1 protocol must produce the same
+    update as the XLA path (weights, evidence, ESS)."""
+    from qinfer_tpu.smc import SMCConfig, smc_update_step
+
+    name, model, prior, outcome, ep = case
+    assert model.fused_update_supported, name
+    rs = qi.LiuWestResampler()
+    st0 = qi.init_smc_state(jax.random.PRNGKey(3), model, 2048, prior)
+    cfg_x = SMCConfig(zero_weight_policy="reset", use_fused_update=False,
+                      resample_thresh=-1.0)
+    cfg_f = SMCConfig(zero_weight_policy="reset", use_fused_update=True,
+                      resample_thresh=-1.0)
+    st_x, ln_x = smc_update_step(model, rs, cfg_x, st0, outcome, ep)
+    st_f, ln_f = smc_update_step(model, rs, cfg_f, st0, outcome, ep)
+    np.testing.assert_allclose(float(ln_x), float(ln_f), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_x.particle_log_weights),
+        np.asarray(st_f.particle_log_weights), atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        float(st_x.min_n_ess), float(st_f.min_n_ess), rtol=1e-3
+    )
+
+
+def test_interleaved_rb_not_fused():
+    model = qi.rb.RandomizedBenchmarkingModel(interleaved=True)
+    assert not model.fused_update_supported
