@@ -16,7 +16,9 @@ Per-step wall-clock cannot be observed inside a compiled scan, so
 ``elapsed_time`` reports (total device wall time)/(n_exp) uniformly —
 the aggregate timing the BASELINE metric needs. The episode program is
 AOT-compiled before the timed block, so compilation never contaminates
-``elapsed_time`` (unlike round 1).
+``elapsed_time``. For the reference's TRUE per-update timing
+distribution, ``perf_test(..., timing_mode="per_update")`` drives a
+host-side updater loop and times each update individually.
 """
 
 from __future__ import annotations
@@ -118,11 +120,26 @@ def run_episodes(model, heuristic_core, resampler, config, prior,
 
 def perf_test(model, n_particles, prior, n_exp, heuristic_class,
               true_model=None, true_prior=None, true_mps=None,
-              resampler=None, extra_updater_args=None, seed=0, key=None):
+              resampler=None, extra_updater_args=None, seed=0, key=None,
+              timing_mode="aggregate"):
     """One trial; returns a structured array of shape (n_exp,).
 
     Reference: ``perf_testing.py — perf_test``.
+
+    ``timing_mode``: ``"aggregate"`` (default) runs the jitted episode
+    scan and divides total device wall time uniformly over experiments;
+    ``"per_update"`` drives a host-side ``SMCUpdater`` loop and records
+    TRUE per-update wall-clock in ``elapsed_time`` — the reference's
+    timing semantics (each update is one device dispatch, so expect
+    relay/dispatch latency to dominate small particle counts).
     """
+    if timing_mode == "per_update":
+        return _perf_test_per_update(
+            model, n_particles, prior, n_exp, heuristic_class,
+            true_model=true_model, true_prior=true_prior, true_mps=true_mps,
+            resampler=resampler, extra_updater_args=extra_updater_args,
+            seed=seed, key=key,
+        )
     result, _ = perf_test_multiple(
         1, model, n_particles, prior, n_exp, heuristic_class,
         true_model=true_model, true_prior=true_prior,
@@ -130,6 +147,62 @@ def perf_test(model, n_particles, prior, n_exp, heuristic_class,
         seed=seed, key=key, return_time=True,
     )
     return result[0]
+
+
+def _perf_test_per_update(model, n_particles, prior, n_exp, heuristic_class,
+                          true_model=None, true_prior=None, true_mps=None,
+                          resampler=None, extra_updater_args=None, seed=0,
+                          key=None):
+    """Host-driven episode with real per-update wall times (reference
+    ``perf_test`` semantics)."""
+    from .smc import SMCUpdater
+
+    if true_model is None:
+        true_model = model
+    if true_prior is None:
+        true_prior = prior
+    if key is None:
+        key = jax.random.key(seed)
+    k_true, k_up, k_sim = jax.random.split(key, 3)
+    if true_mps is None:
+        true_mps = jnp.asarray(true_prior.sample(k_true, 1), jnp.float32)
+    else:
+        true_mps = jnp.atleast_2d(jnp.asarray(true_mps, jnp.float32))
+
+    updater = SMCUpdater(
+        model, int(n_particles), prior, resampler=resampler, key=k_up,
+        **{"zero_weight_policy": "reset", **dict(extra_updater_args or {})},
+    )
+    heuristic = heuristic_class(updater)
+    q = np.asarray(model.Q, float).reshape(-1)
+    true_np = np.asarray(true_mps[0], float)
+
+    d = true_np.shape[0]
+    performance_dtype = np.dtype([
+        ("elapsed_time", float),
+        ("loss", float),
+        ("resample_count", int),
+        ("outcome", float),
+        ("true", float, (d,)),
+        ("est", float, (d,)),
+    ])
+    out = np.zeros((n_exp,), dtype=performance_dtype)
+    for idx in range(n_exp):
+        ep = heuristic()
+        k_sim, k_o = jax.random.split(k_sim)
+        outcome = true_model.simulate_experiment(k_o, true_mps, ep)[0, 0]
+        with timing() as t:
+            updater.update(outcome, ep)
+            jax.block_until_ready(updater.state.particle_log_weights)
+        est = np.asarray(updater.est_mean(), float)
+        out[idx]["elapsed_time"] = t.delta_t
+        out[idx]["loss"] = float(q @ ((est - true_np) ** 2))
+        out[idx]["resample_count"] = int(updater.resample_count)
+        o = np.asarray(outcome, float).reshape(-1)
+        out[idx]["outcome"] = float(o[0])
+        out[idx]["true"] = true_np
+        out[idx]["est"] = est
+    return out
 
 
 def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,

@@ -56,3 +56,19 @@ def test_stateful_heuristic_wrappers():
     pgh = qi.PGH(u)
     ep = pgh()
     assert float(ep["t"][0]) > 0
+
+
+def test_perf_test_per_update_timing():
+    """timing_mode='per_update' records true per-update wall times
+    (reference perf_test semantics) and the same loss fields."""
+    model = qi.SimplePrecessionModel()
+    prior = qi.UniformDistribution([0.0, 1.0])
+    perf = qi.perf_test(
+        model, 512, prior, 10, qi.PGH, seed=4, timing_mode="per_update"
+    )
+    assert perf.shape == (10,)
+    assert (perf["elapsed_time"] > 0).all()
+    # Per-update times are individually measured, not a uniform average.
+    assert len(np.unique(perf["elapsed_time"])) > 1
+    assert perf["loss"][-1] < perf["loss"][0] * 5  # learning, loosely
+    assert perf["est"].shape == (10, 1)
