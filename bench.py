@@ -16,7 +16,7 @@ import numpy as np
 
 
 N_PARTICLES = 1 << 20  # "1M particles" aligned to TPU tiling
-N_EXP = 50
+N_EXP = 100
 TRUE_OMEGA = 0.70710678
 
 
@@ -133,8 +133,9 @@ def main():
     #     evidence/ESS reductions ≈ 5 passes × 4 MB = 20 MB;
     #   resample: cdf/cumsum ≈ 3×8 MB + expand kernel streams (6 B/particle
     #     starts-planes + 6 B values-planes + 4 B out) + moments/smear ≈
-    #     6×4 MB  → ≈ 64 MB. 50 updates + ~7 resamples ≈ 1.45 GB.
-    n_resamples = 7
+    #     6×4 MB  → ≈ 64 MB. Resamples fire at ~1 per 7 experiments on
+    #     this schedule.
+    n_resamples = round(N_EXP * 0.14)
     bytes_moved = (N_EXP * 5 * 4 + n_resamples * 64) * N_PARTICLES
     elapsed = N_PARTICLES * N_EXP / tpu_pps
     gbps = bytes_moved / elapsed / 1e9
