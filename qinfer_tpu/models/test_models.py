@@ -114,6 +114,17 @@ class SimpleInversionModel(FiniteOutcomeModel):
         arg = 0.5 * (omega[:, None] - w_[None, :]) * t[None, :]
         return jnp.cos(arg) ** 2
 
+    def _fused_pr1_parts(self, modelparams, expparams):
+        from ..ops.fused_update import inversion_pr1
+
+        w_ = jnp.asarray(
+            expparams_field(expparams, "w_"), jnp.float32
+        ).reshape(-1)[:1]
+        t = jnp.asarray(
+            expparams_field(expparams, "t"), jnp.float32
+        ).reshape(-1)[:1]
+        return inversion_pr1, jnp.concatenate([w_, t]), (modelparams[:, 0],)
+
 
 @jax.tree_util.register_static
 @dataclass(frozen=True, eq=False)
@@ -153,6 +164,11 @@ class CoinModel(FiniteOutcomeModel):
             (1.0 - p)[:, None], (p.shape[0], n_exp)
         )
 
+    def _fused_pr1_parts(self, modelparams, expparams):
+        from ..ops.fused_update import coin_pr1
+
+        return coin_pr1, jnp.zeros((0,), jnp.float32), (modelparams[:, 0],)
+
 
 @jax.tree_util.register_static
 @dataclass(frozen=True, eq=False)
@@ -188,6 +204,18 @@ class NoisyCoinModel(FiniteOutcomeModel):
         beta = jnp.asarray(expparams_field(expparams, "beta"), jnp.float32).reshape(-1)
         p = modelparams[:, 0]
         return alpha[None, :] * (1.0 - p[:, None]) + beta[None, :] * p[:, None]
+
+    def _fused_pr1_parts(self, modelparams, expparams):
+        from ..ops.fused_update import noisy_coin_pr1
+
+        alpha = jnp.asarray(
+            expparams_field(expparams, "alpha"), jnp.float32
+        ).reshape(-1)[:1]
+        beta = jnp.asarray(
+            expparams_field(expparams, "beta"), jnp.float32
+        ).reshape(-1)[:1]
+        return (noisy_coin_pr1, jnp.concatenate([alpha, beta]),
+                (modelparams[:, 0],))
 
 
 @jax.tree_util.register_static

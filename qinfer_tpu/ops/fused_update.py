@@ -26,7 +26,8 @@ import jax.numpy as jnp
 __all__ = [
     "fused_bayes_update", "precession_tile_fn", "two_outcome_tile",
     "binomial_tile", "precession_pr1", "make_multicos_pr1",
-    "make_known_t2_pr1", "rb_pr1", "make_born_pr1",
+    "make_known_t2_pr1", "rb_pr1", "make_born_pr1", "inversion_pr1",
+    "coin_pr1", "noisy_coin_pr1",
 ]
 
 _NEG_BIG = -3.0e38
@@ -234,6 +235,23 @@ def rb_pr1(scal_ref, off, p, A, B):
     m = scal_ref[off]
     decay = jnp.exp(m * jnp.log(jnp.clip(p, 1e-20, 1.0)))
     return 1.0 - jnp.clip(A * decay + B, 0.0, 1.0)
+
+
+def inversion_pr1(scal_ref, off, omega):
+    """SimpleInversion (Ramsey): 1 − cos²((ω−ω_)t/2); tail = [w_, t]."""
+    c = jnp.cos(0.5 * (omega - scal_ref[off]) * scal_ref[off + 1])
+    return 1.0 - c * c
+
+
+def coin_pr1(scal_ref, off, p):
+    """CoinModel: Pr(1) = p; empty scalar tail."""
+    del scal_ref, off
+    return p
+
+
+def noisy_coin_pr1(scal_ref, off, p):
+    """NoisyCoin: Pr(1) = 1 − (α(1−p) + βp); tail = [α, β]."""
+    return 1.0 - (scal_ref[off] * (1.0 - p) + scal_ref[off + 1] * p)
 
 
 def make_born_pr1(n_cols):

@@ -219,6 +219,16 @@ def _zoo_cases():
                           "n_meas": jnp.array([300], jnp.int32)}),
         ("tomography", TomographyModel(basis), GinibreDistribution(basis),
          jnp.int32(1), {"meas": jnp.asarray(e)[None, :]}),
+        ("inversion", qi.SimpleInversionModel(),
+         qi.UniformDistribution([0.0, 1.0]),
+         jnp.int32(0), {"w_": jnp.array([0.3], jnp.float32),
+                        "t": jnp.array([4.0], jnp.float32)}),
+        ("coin", qi.CoinModel(), qi.UniformDistribution([0.0, 1.0]),
+         jnp.int32(1), {"dummy": jnp.array([0.0], jnp.float32)}),
+        ("noisy_coin", qi.NoisyCoinModel(),
+         qi.UniformDistribution([0.0, 1.0]),
+         jnp.int32(0), {"alpha": jnp.array([0.9], jnp.float32),
+                        "beta": jnp.array([0.1], jnp.float32)}),
     ]
 
 
