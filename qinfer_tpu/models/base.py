@@ -281,14 +281,43 @@ class FiniteOutcomeModel(Model):
     @property
     def fused_update_supported(self):
         cls = type(self)
-        return cls._fused_pr1_parts is not FiniteOutcomeModel._fused_pr1_parts
+        if cls._fused_pr1_parts is FiniteOutcomeModel._fused_pr1_parts:
+            return False
+        # A subclass that overrides the likelihood (via pr0 or
+        # log_likelihood) but *inherits* _fused_pr1_parts would silently
+        # run the ancestor's fused tile as the engine default — only
+        # accept an inherited fused spec when the likelihood is inherited
+        # from no deeper than the class that defined the spec.
+        mro = cls.__mro__
+
+        def _definer_idx(name):
+            for i, c in enumerate(mro):
+                if name in vars(c):
+                    return i
+            return len(mro)
+
+        fused_idx = _definer_idx("_fused_pr1_parts")
+        return fused_idx <= min(
+            _definer_idx("pr0"), _definer_idx("log_likelihood")
+        )
 
     def fused_update(self, outcome, log_w, modelparams, expparams,
-                     interpret=None):
+                     interpret=None, return_stats=False):
         """(log_w', log_norm, ess) in one fused Pallas pass (E must be 1);
-        equality with the XLA path is tested in tests/test_pallas_ops.py."""
+        equality with the XLA path is tested in tests/test_pallas_ops.py.
+
+        ``return_stats=True`` returns the raw per-shard
+        (log_w_unnormalized, lse, lse2) for psum-merging under shard_map
+        (see ``ops.fused_update.fused_bayes_update``).
+        """
         from ..ops.fused_update import fused_bayes_update, two_outcome_tile
 
+        if _n_exps(expparams) != 1:
+            raise ValueError(
+                "fused_update handles exactly one experiment (E == 1); got "
+                f"E == {_n_exps(expparams)}. Batch experiments through "
+                "batch_update / lax.scan instead."
+            )
         parts = self._fused_pr1_parts(modelparams, expparams)
         if parts is None:
             raise NotImplementedError(
@@ -300,7 +329,7 @@ class FiniteOutcomeModel(Model):
         )
         return fused_bayes_update(
             two_outcome_tile(pr1_fn), scalars, log_w, cols,
-            interpret=interpret,
+            interpret=interpret, return_stats=return_stats,
         )
 
     def n_outcomes(self, expparams: ExpParams = None) -> int:

@@ -144,14 +144,20 @@ class BinomialModel(DerivedModel):
         )
 
     def fused_update(self, outcome, log_w, modelparams, expparams,
-                     interpret=None):
+                     interpret=None, return_stats=False):
         """Fused binomial update: the underlying two-outcome model's pr1
         tile + the in-kernel binomial log-pmf (coefficient precomputed in
         XLA). Equality-tested against the XLA path."""
         from jax.scipy.special import gammaln
 
+        from ..models.base import _n_exps
         from ..ops.fused_update import binomial_tile, fused_bayes_update
 
+        if _n_exps(expparams) != 1:
+            raise ValueError(
+                "fused_update handles exactly one experiment (E == 1); "
+                f"got E == {_n_exps(expparams)}."
+            )
         pr1_fn, tail, cols = self.underlying_model._fused_pr1_parts(
             modelparams, expparams
         )
@@ -165,7 +171,7 @@ class BinomialModel(DerivedModel):
         )
         return fused_bayes_update(
             binomial_tile(pr1_fn), scalars, log_w, cols,
-            interpret=interpret,
+            interpret=interpret, return_stats=return_stats,
         )
 
     def simulate_experiment(self, key, modelparams, expparams, repeat=1):

@@ -121,16 +121,18 @@ class RandomizedBenchmarkingModel(FiniteOutcomeModel):
         return jnp.clip(A[:, None] * pm + B[:, None], 0.0, 1.0)
 
     def _fused_pr1_parts(self, modelparams, expparams):
-        if self.interleaved:
-            return None  # engine falls back to the XLA path
-        from ..ops.fused_update import rb_pr1
-
         m = jnp.asarray(
             expparams_field(expparams, "m"), jnp.float32
         ).reshape(-1)[:1]
+        if self.interleaved:
+            from ..ops.fused_update import rb_interleaved_pr1
+
+            ref = jnp.asarray(
+                expparams_field(expparams, "reference"), jnp.float32
+            ).reshape(-1)[:1]
+            cols = tuple(modelparams[:, i] for i in range(4))
+            return rb_interleaved_pr1, jnp.concatenate([m, ref]), cols
+        from ..ops.fused_update import rb_pr1
+
         cols = (modelparams[:, 0], modelparams[:, 1], modelparams[:, 2])
         return rb_pr1, m, cols
-
-    @property
-    def fused_update_supported(self):
-        return not self.interleaved

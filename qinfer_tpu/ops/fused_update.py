@@ -26,8 +26,8 @@ import jax.numpy as jnp
 __all__ = [
     "fused_bayes_update", "precession_tile_fn", "two_outcome_tile",
     "binomial_tile", "precession_pr1", "make_multicos_pr1",
-    "make_known_t2_pr1", "rb_pr1", "make_born_pr1", "inversion_pr1",
-    "coin_pr1", "noisy_coin_pr1",
+    "make_known_t2_pr1", "rb_pr1", "rb_interleaved_pr1", "make_born_pr1",
+    "inversion_pr1", "coin_pr1", "noisy_coin_pr1",
 ]
 
 _NEG_BIG = -3.0e38
@@ -50,8 +50,12 @@ def _update_kernel(scal_ref, lw_ref, *rest, tile_fn, n_cols, num_tiles):
         acc_ref[2] = _NEG_BIG  # m2
         acc_ref[3] = 0.0  # s2 = Σ exp(2lw − m2)
 
+    # Lower clip ONLY — same rule as the engine's XLA path (smc.py):
+    # continuous-density tiles may legitimately exceed log L = 0, and an
+    # upper clip would silently corrupt their evidence. Finite-outcome
+    # tiles satisfy log L ≤ 0 up to rounding either way.
     log_l = tile_fn(scal_ref, *[r[...] for r in loc_refs])
-    lw = lw_ref[...] + jnp.clip(log_l, -87.0, 0.0)
+    lw = lw_ref[...] + jnp.maximum(log_l, -87.0)
     out_lw_ref[...] = lw
 
     tile_m = jnp.max(lw)
@@ -78,7 +82,7 @@ def _update_kernel(scal_ref, lw_ref, *rest, tile_fn, n_cols, num_tiles):
 
 
 def fused_bayes_update(tile_fn, scalars, log_w, param_cols, tile=65536,
-                       interpret=None):
+                       interpret=None, return_stats=False):
     """One fused SMC update.
 
     ``tile_fn(scalars_ref, *param_tiles) -> (tile,) log-likelihood``;
@@ -90,6 +94,12 @@ def fused_bayes_update(tile_fn, scalars, log_w, param_cols, tile=65536,
     normalized weights, the update evidence log Pr(outcome), and the
     effective sample size — everything ``smc_update_step`` needs, in
     ~2 HBM passes.
+
+    ``return_stats=True`` instead returns (log_w_unnormalized, lse, lse2)
+    with lse = logsumexp(lw) and lse2 = logsumexp(2·lw) — the raw
+    streaming reductions, which are associative-merge-ready: the sharded
+    step psum-merges them across shards for the global evidence/ESS
+    (SURVEY §5.8; ``qinfer_tpu.parallel.sharded_smc``).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -135,6 +145,8 @@ def fused_bayes_update(tile_fn, scalars, log_w, param_cols, tile=65536,
         interpret=interpret,
     )(jnp.asarray(scalars, jnp.float32), log_w, *param_cols)
 
+    if return_stats:
+        return lw_unnorm[:n], stats[0], stats[1]
     log_norm = stats[0]
     log_w_norm = lw_unnorm[:n] - log_norm
     # ESS = 1/Σ w² with w = exp(lw − lse): lse2 − 2·lse in log space.
@@ -234,6 +246,17 @@ def rb_pr1(scal_ref, off, p, A, B):
     f32 pow); scalars tail = [m]."""
     m = scal_ref[off]
     decay = jnp.exp(m * jnp.log(jnp.clip(p, 1e-20, 1.0)))
+    return 1.0 - jnp.clip(A * decay + B, 0.0, 1.0)
+
+
+def rb_interleaved_pr1(scal_ref, off, pt, pr_, A, B):
+    """Interleaved RB: decay = p_ref (reference seq) or p̃·p_ref; scalars
+    tail = [m, reference]. Reference: ``rb.py —
+    RandomizedBenchmarkingModel(interleaved=True)``."""
+    m = scal_ref[off]
+    ref = scal_ref[off + 1]
+    p_eff = jnp.where(ref == 1.0, pr_, pt * pr_)
+    decay = jnp.exp(m * jnp.log(jnp.clip(p_eff, 1e-20, 1.0)))
     return 1.0 - jnp.clip(A * decay + B, 0.0, 1.0)
 
 

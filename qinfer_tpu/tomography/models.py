@@ -174,8 +174,13 @@ class TomographyModel(FiniteOutcomeModel):
         """
         y = modelparams[:, 1:]
         tau = jnp.linalg.norm(y, axis=1) / jnp.sqrt(jnp.float32(2.0))
-        lam_p = jnp.clip(0.5 + tau, self.psd_tol)
-        lam_m = jnp.clip(0.5 - tau, self.psd_tol)
+        # ρ = (x₀/√2)·I + T with eigenvalues x₀/√2 ± τ — use the INPUT's
+        # actual half-trace (not the unit-trace 1/2) so states with trace
+        # drift (e.g. the resampler clamp path) project identically to the
+        # eigh path, which clips the true eigenvalues before renormalizing.
+        half_tr = modelparams[:, 0] / jnp.sqrt(jnp.float32(2.0))
+        lam_p = jnp.clip(half_tr + tau, self.psd_tol)
+        lam_m = jnp.clip(half_tr - tau, self.psd_tol)
         tau_new = 0.5 * (lam_p - lam_m) / (lam_p + lam_m)
         scale = jnp.where(tau > 1e-12, tau_new / jnp.maximum(tau, 1e-12),
                           1.0)
@@ -225,6 +230,14 @@ class DiffusiveTomographyModel(TomographyModel):
         ).reshape(-1, self.basis.n_elements)
         pr1 = coords @ meas.T
         return jnp.clip(1.0 - pr1, 0.0, 1.0)
+
+    def _fused_pr1_parts(self, modelparams, expparams):
+        # Explicitly the parent's Born tile: it reads only the first
+        # basis.n_elements columns, so the trailing ε column (which does
+        # not enter the likelihood) is correctly excluded — made explicit
+        # here (rather than inherited) so ``fused_update_supported``'s
+        # likelihood-override gate accepts it.
+        return TomographyModel._fused_pr1_parts(self, modelparams, expparams)
 
     def are_models_valid(self, modelparams):
         coords, eps = self._split(modelparams)

@@ -186,8 +186,24 @@ def test_engine_fused_update_route_matches_xla(key):
     )
 
 
+class _DiffusivePrior:
+    """Ginibre state coordinates + a small uniform diffusion rate."""
+
+    def __init__(self, basis):
+        from qinfer_tpu.tomography import GinibreDistribution
+
+        self._states = GinibreDistribution(basis)
+
+    def sample(self, key, n=1):
+        k1, k2 = jax.random.split(key)
+        x = self._states.sample(k1, n)
+        eps = jax.random.uniform(k2, (n, 1), minval=0.0, maxval=0.05)
+        return jnp.concatenate([x, eps], axis=1)
+
+
 def _zoo_cases():
     from qinfer_tpu.tomography import (
+        DiffusiveTomographyModel,
         GinibreDistribution,
         TomographyModel,
         pauli_basis,
@@ -219,6 +235,22 @@ def _zoo_cases():
                           "n_meas": jnp.array([300], jnp.int32)}),
         ("tomography", TomographyModel(basis), GinibreDistribution(basis),
          jnp.int32(1), {"meas": jnp.asarray(e)[None, :]}),
+        ("diffusive_tomography", DiffusiveTomographyModel(basis),
+         _DiffusivePrior(basis),
+         jnp.int32(1), {"meas": jnp.asarray(e)[None, :],
+                        "t": jnp.array([1.0], jnp.float32)}),
+        ("rb_interleaved",
+         qi.rb.RandomizedBenchmarkingModel(interleaved=True),
+         qi.UniformDistribution(
+             [[0.8, 1.0], [0.8, 1.0], [0.2, 0.5], [0.3, 0.5]]),
+         jnp.int32(1), {"m": jnp.array([24], jnp.int32),
+                        "reference": jnp.array([0], jnp.int32)}),
+        ("rb_interleaved_ref",
+         qi.rb.RandomizedBenchmarkingModel(interleaved=True),
+         qi.UniformDistribution(
+             [[0.8, 1.0], [0.8, 1.0], [0.2, 0.5], [0.3, 0.5]]),
+         jnp.int32(0), {"m": jnp.array([24], jnp.int32),
+                        "reference": jnp.array([1], jnp.int32)}),
         ("inversion", qi.SimpleInversionModel(),
          qi.UniformDistribution([0.0, 1.0]),
          jnp.int32(0), {"w_": jnp.array([0.3], jnp.float32),
@@ -258,6 +290,46 @@ def test_fused_update_zoo_matches_xla(case):
     )
 
 
-def test_interleaved_rb_not_fused():
+def test_interleaved_rb_is_fused():
+    """Round-3: the interleaved variant carries its own fused tile (one
+    extra scalar + a select) instead of falling back to XLA."""
     model = qi.rb.RandomizedBenchmarkingModel(interleaved=True)
-    assert not model.fused_update_supported
+    assert model.fused_update_supported
+
+
+def test_fused_update_rejects_multi_experiment(key):
+    """fused_update documents E == 1 — a direct caller with E > 1 must get
+    an error, not silently the first experiment's answer."""
+    model = qi.SimplePrecessionModel()
+    lw = jnp.full((256,), -np.log(256.0), jnp.float32)
+    locs = jnp.linspace(0.0, 1.0, 256)[:, None]
+    ep2 = {"t": jnp.array([1.0, 2.0], jnp.float32)}
+    with pytest.raises(ValueError, match="E == 1"):
+        model.fused_update(jnp.int32(1), lw, locs, ep2, interpret=True)
+    bm = qi.BinomialModel(model)
+    ep2b = {"t": jnp.array([1.0, 2.0], jnp.float32),
+            "n_meas": jnp.array([10, 10], jnp.int32)}
+    with pytest.raises(ValueError, match="E == 1"):
+        bm.fused_update(jnp.int32(3), lw, locs, ep2b, interpret=True)
+
+
+def test_fused_support_gate_blocks_likelihood_override():
+    """A subclass that changes the likelihood without updating the fused
+    spec must NOT be auto-routed to the ancestor's fused tile."""
+    import dataclasses
+
+    @jax.tree_util.register_static
+    @dataclasses.dataclass(frozen=True, eq=False)
+    class TweakedPrecession(qi.SimplePrecessionModel):
+        def pr0(self, modelparams, expparams):
+            return 0.5 * super().pr0(modelparams, expparams)
+
+    assert qi.SimplePrecessionModel().fused_update_supported
+    assert not TweakedPrecession().fused_update_supported
+
+    @jax.tree_util.register_static
+    @dataclasses.dataclass(frozen=True, eq=False)
+    class RenamedPrecession(qi.SimplePrecessionModel):
+        pass  # no likelihood override — inherited fused spec stays valid
+
+    assert RenamedPrecession().fused_update_supported

@@ -277,9 +277,14 @@ def test_qubit_canonicalize_matches_eigh_path(key):
     basis = pauli_basis(1)
     model = qi.tomography.TomographyModel(basis)
     rng = np.random.default_rng(11)
-    # Mix of valid, boundary, and far-outside coordinates.
-    x = rng.standard_normal((64, 4)).astype(np.float32) * 0.6
-    x[:, 0] = 1 / np.sqrt(2)
+    # Mix of valid, boundary, and far-outside coordinates — including
+    # non-unit traces (the resampler clamp path feeds particles with
+    # trace drift, which the closed form must project like eigh does).
+    x = rng.standard_normal((96, 4)).astype(np.float32) * 0.6
+    x[:64, 0] = 1 / np.sqrt(2)
+    x[64:, 0] = (1 / np.sqrt(2)) * (
+        1.0 + rng.uniform(-0.3, 0.3, 32).astype(np.float32)
+    )
     xj = jnp.asarray(x)
 
     fast = np.asarray(model._canonicalize_qubit(xj))
