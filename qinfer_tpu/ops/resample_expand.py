@@ -5,41 +5,39 @@ u_i = (i + u0)/n onto sorted particle segments [t_{j−1}, t_j) — a merge of
 two sorted sequences. XLA has no fast lowering for it on TPU (measured at
 n=1M: searchsorted ≈ 130 ms, scatter+cummax+gather ≈ 17 ms, blocked
 one-hot pick ≈ 14 ms — see bench_breakdown.py / doc/guide_performance.md).
-This kernel exploits the sortedness and streams at near-HBM speed:
+This kernel exploits the sortedness and streams the bank once:
 
 - the output strata are processed in T-sized subtiles by a sequential TPU
-  grid (several subtiles per grid step);
+  grid (several subtiles per grid step); per-stratum quantities live on
+  the LANE axis end-to-end, so no sublane↔lane relayouts ever happen;
 - the particle segment starts and the particle values are streamed through
-  a 3-slot VMEM ring of CHUNK-sized windows whose DMAs are *prefetched*
-  one chunk ahead, so the common case pays no DMA latency; a skew loop
-  advances the window one chunk at a time when a subtile's covering
-  particles span beyond the resident window (heavily non-uniform weights);
-- within a subtile the rank r(i) = #{starts ≤ i} over the resident window
-  is found *hierarchically*: a (T, G) compare against the G group maxima
-  picks each stratum's group, an MXU one-hot row-select fetches that
-  group's GS starts, and a second (T, GS) compare finishes the rank —
-  O(G + GS) work per stratum instead of O(W), with the row selects running
-  as (T, G) · (GS, G)ᵀ contractions on the MXU;
-- the covering particle's value is fetched the same way (one-hot group
-  select + within-group one-hot reduce); all D parameter columns share the
-  rank math and pay one extra select each;
+  a 3-slot VMEM ring of (128, 128)-shaped chunks in NATURAL row-major
+  order (chunk c element (r, l) = flat c·16384 + r·128 + l), so the host-
+  side tiling is a free reshape — no transpose pass. DMAs are prefetched
+  one chunk ahead; a skew loop advances the window one chunk at a time
+  when a subtile's covering particles span beyond the resident window;
+- within a subtile the rank r(t) = #{starts ≤ t} over the resident window
+  is found hierarchically: each ROW of the chunk is one sorted group of
+  128 starts whose maximum is its lane-127 element (a static slice — no
+  side stream); a (rows × T) compare against the group maxima counts the
+  fully-covered groups, an MXU one-hot row-select fetches the boundary
+  group's starts, and a second compare finishes the rank;
+- EVERY cross-lane/sublane reduction (rank counts, the final picked-value
+  collapse) is a dot against a ones vector on the MXU — the VPU's
+  cross-lane reduce of a (2048, 128) tile costs ~2 µs while the MXU matvec
+  is ~0.2 µs, and this was the dominant cost of the round-2 kernel;
 - Mosaic lowers f32 MXU matmuls to a SINGLE bf16 pass (silently rounding),
   so every f32 stream is pre-split into THREE bf16 planes
-  (v = p1 + p2 + p3, the standard exact 3-way split: 3 × 9 significant
+  (v = p1 + p2 + p3, the standard exact 3-way split: 3 × 8 significand
   bits ≥ the 24-bit f32 mantissa) and each select is three single-pass
-  bf16 dots — exact, and half the MXU passes of precision=HIGHEST;
-- the window is ONE chunk and advances by whole chunks; a stratum whose
-  covering particle is the last element of the *previous* window resolves
-  through a per-column SMEM boundary carry (rank 0 under the current
-  window ⇒ covering = last particle of the prior chunk, by the advance
-  rule: the window only advances past a chunk once all its starts are ≤
-  the saturating stratum).
-
-Mosaic cannot shape-cast 1-D↔2-D vectors in-kernel, so the streams are
-pre-tiled OUTSIDE the kernel (one cheap XLA transpose) into
-``(n_chunks, GS, GH)`` blocks: chunk c element (p, g) is flat index
-``c·CHUNK + g·GS + p``; column g of a resident window is the g-th group
-of GS consecutive (sorted) starts, so its group max is row GS−1.
+  bf16 dots whose one-hot-masked sums have exactly one nonzero term —
+  exact by construction;
+- the window is ONE chunk (16384 particles) and advances by whole chunks;
+  a stratum whose covering particle is the last element of the *previous*
+  window resolves through a per-column SMEM boundary carry (rank 0 under
+  the current window ⇒ covering = last particle of the prior chunk, by
+  the advance rule: the window only advances past a chunk once all its
+  starts are ≤ the saturating stratum).
 
 No gathers, no scatters, no sort. Total traffic is O(n·(D+1)) reads +
 O(n·D) writes. Indices are carried in f32 (exact for n ≤ 2^24; the
@@ -60,16 +58,18 @@ import numpy as np
 __all__ = ["expand_sorted_segments", "systematic_expand"]
 
 _SENTINEL = np.float32(2.0 ** 30)
-_GS = 64  # group size (sublanes of a window tile; multiple of bf16's 16)
-_GH = 128  # groups per chunk (lanes of a ring slot; the TPU lane width)
-_G = _GH  # groups per resident window (window = one chunk)
-_CHUNK = _GS * _GH  # particles per DMA chunk (8192) = window width
+_ROWS = 128  # groups per chunk (sublanes); one group = one chunk row
+_LANES = 128  # group size (the TPU lane width)
+_CHUNK = _ROWS * _LANES  # particles per DMA chunk (16384) = window width
 _W = _CHUNK
-_SUPER = 8192  # strata per grid step (= _SUB · _T, fixed)
-_T = 2048  # strata per subtile (default; shrunk for many-column calls)
+_SUPER = 8192  # strata per grid step (= n_sub · t_size)
+_T = 2048  # strata per subtile (shrunk for very wide models)
 
-# dot_general contraction: (T, G) · (GS, G) → (T, GS), contracting G.
-_SELECT_DNUMS = (((1,), (1,)), ((), ()))
+# dot_general contractions (all operands 2-D, strata on lanes):
+#   count:  ones (1, R) · cmp (R, T) → (1, T), contracting R
+#   select: ring (R, L) · onehot (R, T) → (L, T), contracting R
+_COUNT_DNUMS = (((1,), (0,)), ((), ()))
+_SELECT_DNUMS = (((0,), (0,)), ((), ()))
 _N_PLANES = 3
 
 
@@ -78,12 +78,12 @@ def _expand_kernel(*refs, n_cols, t_size):
     from jax.experimental.pallas import tpu as pltpu
 
     n_streams = _N_PLANES * (1 + n_cols)
-    stream_hbms = refs[:n_streams]  # s planes, then col-0 planes, …
+    stream_hbms = refs[:n_streams]  # starts planes, then col-0 planes, …
     out_refs = refs[n_streams : n_streams + n_cols]
     (cur_j, loaded, inflight, carry, ring) = refs[
         n_streams + n_cols : n_streams + n_cols + 5
     ]
-    # ring: (3 slots, n_streams, GS, GH) bf16
+    # ring: (3 slots, n_streams, ROWS, LANES) bf16
     sems = refs[n_streams + n_cols + 5]  # DMA sems, shape (3, n_streams)
 
     k = pl.program_id(0)
@@ -138,33 +138,45 @@ def _expand_kernel(*refs, n_cols, t_size):
             inflight[slot] = 1
 
     # (Mosaic's tpu.iota is integer-only; build int32 and convert.)
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _G), 1).astype(
-        jnp.float32)
-    gs_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _GS), 1).astype(
-        jnp.float32)
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0).astype(
+        jnp.float32)  # group/row ids, on sublanes
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0).astype(
+        jnp.float32)  # within-group ids, on sublanes of (L, T) selects
     n_sub = _SUPER // t_size
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_size, 1), 0).astype(
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_size), 1).astype(
         jnp.float32)
-    # Corner mask for the boundary carry: the window's LAST particle.
+    ones_r = jnp.ones((1, _ROWS), jnp.bfloat16)
+    ones_l = jnp.ones((1, _LANES), jnp.bfloat16)
+    # Corner mask for the boundary carry: the window's LAST particle
+    # (row 127, lane 127).
     corner = (
-        (jax.lax.broadcasted_iota(jnp.int32, (_GS, _GH), 0) == _GS - 1)
-        & (jax.lax.broadcasted_iota(jnp.int32, (_GS, _GH), 1) == _GH - 1)
+        (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 0) == _ROWS - 1)
+        & (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+           == _LANES - 1)
     ).astype(jnp.float32)
 
-    def select3(oh_bf16, slot, stream0):
-        """Exact f32 one-hot row-select via three single-pass bf16 dots."""
+    def count(cmp_bf16):
+        """#true per stratum: MXU matvec (exact: 0/1 inputs, f32 accum)."""
+        return jax.lax.dot_general(
+            ones_r, cmp_bf16, _COUNT_DNUMS,
+            preferred_element_type=jnp.float32,
+        )  # (1, T)
+
+    def select3(slot, stream0, oh_bf16):
+        """Exact f32 one-hot row-select via three single-pass bf16 dots:
+        (R, L) · (R, T) → (L, T), each output a one-term masked sum."""
         acc = None
         for p in range(_N_PLANES):
             part = jax.lax.dot_general(
-                oh_bf16, ring[slot, stream0 + p], _SELECT_DNUMS,
+                ring[slot, stream0 + p], oh_bf16, _SELECT_DNUMS,
                 preferred_element_type=jnp.float32,
             )
             acc = part if acc is None else acc + part
-        return acc  # (T, GS)
+        return acc  # (L, T)
 
     for sub in range(n_sub):
         sub_start = (k * n_sub + sub) * t_size
-        row = sub_start.astype(jnp.float32) + t_iota  # (T, 1) stratum ids
+        row = sub_start.astype(jnp.float32) + t_iota  # (1, T) stratum ids
 
         def cond(c):
             return ~c[1]
@@ -175,50 +187,53 @@ def _expand_kernel(*refs, n_cols, t_size):
             prefetch(c0 + 1)
 
             slot = jax.lax.rem(c0, 3)
-            # Group maxima: the last (GS−1) row of each start plane, summed
-            # back to exact f32. (1, G)
+            # Group maxima: lane 127 of each start-plane row, summed back
+            # to exact f32. (R, 1) — no transpose, no side stream.
             gmax = (
-                ring[slot, 0][_GS - 1 : _GS, :].astype(jnp.float32)
-                + ring[slot, 1][_GS - 1 : _GS, :].astype(jnp.float32)
-                + ring[slot, 2][_GS - 1 : _GS, :].astype(jnp.float32)
+                ring[slot, 0][:, _LANES - 1 :].astype(jnp.float32)
+                + ring[slot, 1][:, _LANES - 1 :].astype(jnp.float32)
+                + ring[slot, 2][:, _LANES - 1 :].astype(jnp.float32)
             )
 
-            # Level 1: how many groups lie fully at/below this stratum.
-            # (bf16 compare buffers: integer counts ≤ G are bf16-exact
-            # and the halved VMEM footprint lets t_size stay large.)
-            fg = jnp.sum(
-                (gmax <= row).astype(jnp.bfloat16), axis=1, keepdims=True
-            ).astype(jnp.float32)  # (T, 1), in [0, G]
-            oh_fg = (fg == g_iota).astype(jnp.bfloat16)  # (T, G)
-            # Level 2: rank within the (fg)-th group via MXU column-select.
-            s2 = select3(oh_fg, slot, 0)  # (T, GS) — group fg's starts
-            r_lo = jnp.sum(
-                (s2 <= row).astype(jnp.bfloat16), axis=1, keepdims=True
-            ).astype(jnp.float32)
-            r = jnp.minimum(_GS * fg + r_lo, float(_W))  # (T, 1)
+            # Level 1: how many groups lie fully at/below each stratum.
+            fg = count((gmax <= row).astype(jnp.bfloat16))  # (1,T) ∈ [0,R]
+            oh_fg = (g_iota == fg).astype(jnp.bfloat16)  # (R, T)
+            # Level 2: rank within the (fg)-th group via MXU row-select.
+            s2 = select3(slot, 0, oh_fg)  # (L, T) — group fg's starts
+            r_lo = count((s2 <= row).astype(jnp.bfloat16))  # (1, T)
+            r = jnp.minimum(_LANES * fg + r_lo, float(_W))  # (1, T)
 
-            cc = r - 1.0  # local covering index; −1 → boundary carry
-            chi = jnp.floor(cc / _GS)
-            clo = cc - _GS * chi
-            oh_chi = (chi == g_iota).astype(jnp.bfloat16)  # (T, G)
-            oh_clo = (clo == gs_iota).astype(jnp.float32)  # (T, GS)
+            cc = r - 1.0  # covering index in-window; −1 → boundary carry
+            chi = jnp.floor(cc / _LANES)
+            clo = cc - _LANES * chi
+            oh_chi = (g_iota == chi).astype(jnp.bfloat16)  # (R, T)
             # r == W means the covering particle may lie at/beyond the
-            # window end — defer those rows to the next (advanced) visit;
+            # window end — defer those strata to the next (advanced) visit;
             # they resolve there with r ≥ 1, or r == 0 ⇒ covering is the
-            # previous window's LAST particle (the SMEM carry). Rows
+            # previous window's LAST particle (the SMEM carry). Strata
             # already resolved in an earlier visit are masked via `res`.
-            live = (r < float(_W)).astype(jnp.float32) * (1.0 - res)  # (T,1)
-            sel = oh_clo * live
-            carried = (r == 0.0).astype(jnp.float32) * live  # (T, 1)
+            live = (r < float(_W)).astype(jnp.float32) * (1.0 - res)  # (1,T)
+            oh_clo = (l_iota == clo).astype(jnp.float32) * live  # (L, T)
+            carried = (r == 0.0).astype(jnp.float32) * live  # (1, T)
 
             new_acc = []
             for d in range(n_cols):
-                v2 = select3(oh_chi, slot, _N_PLANES * (1 + d))  # (T, GS)
-                picked = jnp.sum(v2 * sel, axis=1)
-                picked = picked + carry[d] * carried[:, 0]
+                s0 = _N_PLANES * (1 + d)
+                picked = None
+                for p in range(_N_PLANES):
+                    v2 = jax.lax.dot_general(
+                        ring[slot, s0 + p], oh_chi, _SELECT_DNUMS,
+                        preferred_element_type=jnp.float32,
+                    )  # (L, T) — group chi's plane-p values (exact bf16)
+                    part = jax.lax.dot_general(
+                        ones_l, (v2 * oh_clo).astype(jnp.bfloat16),
+                        _COUNT_DNUMS, preferred_element_type=jnp.float32,
+                    )  # (1, T) — one-term masked sum: exact
+                    picked = part if picked is None else picked + part
+                picked = picked + carry[d] * carried
                 new_acc.append(acc[d] + picked)
 
-            saturated = r[t_size - 1, 0] == float(_W)
+            saturated = r[0, t_size - 1] == float(_W)
 
             @pl.when(saturated)
             def _advance_carry():
@@ -235,13 +250,14 @@ def _expand_kernel(*refs, n_cols, t_size):
                     )
 
             # Next subtile's window: the chunk holding the last covering
-            # particle (clamped ≥ c0 — a carry-resolved last row must not
-            # step the window backward, which would invalidate the carry).
+            # particle (clamped ≥ c0 — a carry-resolved last stratum must
+            # not step the window backward, which would invalidate the
+            # carry).
             cur_j[0] = jnp.where(
                 saturated,
                 (c0 + 1) * _CHUNK,
                 c0 * _CHUNK
-                + jnp.maximum(cc[t_size - 1, 0], 0.0).astype(jnp.int32),
+                + jnp.maximum(cc[0, t_size - 1], 0.0).astype(jnp.int32),
             )
             return (
                 c0 + saturated.astype(jnp.int32),
@@ -253,12 +269,13 @@ def _expand_kernel(*refs, n_cols, t_size):
         init = (
             cur_j[0] // _CHUNK,
             False,
-            jnp.zeros((t_size, 1), jnp.float32),
-            tuple(jnp.zeros((t_size,), jnp.float32) for _ in range(n_cols)),
+            jnp.zeros((1, t_size), jnp.float32),
+            tuple(jnp.zeros((1, t_size), jnp.float32)
+                  for _ in range(n_cols)),
         )
         _, _, _, acc = jax.lax.while_loop(cond, body, init)
         for d in range(n_cols):
-            out_refs[d][pl.ds(sub * t_size, t_size)] = acc[d]
+            out_refs[d][0, :, pl.ds(sub * t_size, t_size)] = acc[d]
 
     # Drain any still-inflight prefetch DMA before the kernel exits — an
     # outstanding async copy with an un-waited semaphore aborts the TPU.
@@ -276,10 +293,10 @@ def _round_up(x, m):
 
 
 def _tile_chunks(flat):
-    """(n_chunks·CHUNK,) → (n_chunks, GS, GH) with element (c, p, g) =
-    flat[c·CHUNK + g·GS + p] (groups as lanes, positions as sublanes)."""
+    """(n_chunks·CHUNK,) → (n_chunks, ROWS, LANES) row-major — a free
+    reshape: element (c, r, l) = flat[c·CHUNK + r·LANES + l]."""
     n_chunks = flat.shape[0] // _CHUNK
-    return jnp.swapaxes(flat.reshape(n_chunks, _GH, _GS), 1, 2)
+    return flat.reshape(n_chunks, _ROWS, _LANES)
 
 
 def _split_planes(x):
@@ -304,19 +321,18 @@ def _expand_cols(starts_padded, cols_padded, n_out, interpret):
 
     n_cols = len(cols_padded)
     n_streams = _N_PLANES * (1 + n_cols)
-    # The (t_size, ·) intermediates live on the 16 MB VMEM stack and scale
-    # with the column count — shrink the subtile as columns grow (measured:
-    # n_cols=4 at t_size=2048 overflows by ~0.9 MB). Fewer, larger subtiles
-    # amortize per-visit fixed costs (gmax prep, loop/DMA bookkeeping).
-    if n_cols <= 2:
+    # The (·, t_size) intermediates live on the 16 MB VMEM stack; the ring
+    # grows with the column count — shrink the subtile for very wide
+    # models so both fit.
+    if n_cols <= 6:
         t_size = _T
-    elif n_cols <= 9:
+    elif n_cols <= 12:
         t_size = _T // 2
     else:
         t_size = _T // 4
     super_tile = _SUPER
     n_super = _round_up(n_out, super_tile) // super_tile
-    out_struct = jax.ShapeDtypeStruct((n_super * super_tile,), jnp.float32)
+    out_struct = jax.ShapeDtypeStruct((n_super, 1, super_tile), jnp.float32)
     streams = []
     for arr in (starts_padded, *cols_padded):
         streams.extend(_tile_chunks(p) for p in _split_planes(arr))
@@ -325,7 +341,7 @@ def _expand_cols(starts_padded, cols_padded, n_out, interpret):
         grid=(n_super,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_streams,
         out_specs=tuple(
-            pl.BlockSpec((super_tile,), lambda k: (k,),
+            pl.BlockSpec((1, 1, super_tile), lambda k: (k, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(n_cols)
         ),
@@ -335,12 +351,12 @@ def _expand_cols(starts_padded, cols_padded, n_out, interpret):
             pltpu.SMEM((3,), jnp.int32),   # loaded chunk id per slot
             pltpu.SMEM((3,), jnp.int32),   # inflight flag per slot
             pltpu.SMEM((max(n_cols, 1),), jnp.float32),  # boundary carry
-            pltpu.VMEM((3, n_streams, _GS, _GH), jnp.bfloat16),  # ring
+            pltpu.VMEM((3, n_streams, _ROWS, _LANES), jnp.bfloat16),  # ring
             pltpu.SemaphoreType.DMA((3, n_streams)),
         ],
         interpret=interpret,
     )(*streams)
-    return tuple(o[:n_out] for o in outs)
+    return tuple(o.reshape(-1)[:n_out] for o in outs)
 
 
 def expand_sorted_segments(starts, values, n_out=None, interpret=None):
