@@ -42,11 +42,26 @@ __all__ = [
 ]
 
 
+# Per-shard byte budget above which migration='auto' switches from one
+# all_gather of the bank to the O(n_local) ppermute ring (64 MB — small
+# against HBM but large enough that single-host test meshes keep the
+# cheaper gather path).
+_RING_MIGRATION_BYTES = 64 * 1024 * 1024
+
+
 def global_logsumexp(x, axis_name):
     """logsumexp across all shards: pmax for the max, psum for the sum."""
     m_local = jnp.max(x)
     m = jax.lax.pmax(m_local, axis_name)
     s = jax.lax.psum(jnp.sum(jnp.exp(x - m)), axis_name)
+    return m + jnp.log(s)
+
+
+def _merge_lse(lse_local, axis_name):
+    """Merge per-shard logsumexp scalars into the global logsumexp —
+    the associative combine of the fused kernel's streaming stats."""
+    m = jax.lax.pmax(lse_local, axis_name)
+    s = jax.lax.psum(jnp.exp(lse_local - m), axis_name)
     return m + jnp.log(s)
 
 
@@ -68,13 +83,21 @@ def sharded_moments(log_w_shard, locs_shard, axis_name):
     return mu, 0.5 * (cov + cov.T)
 
 
-def distributed_systematic_pick(key, log_w_shard, locs_shard, axis_name):
+def distributed_systematic_pick(key, log_w_shard, locs_shard, axis_name,
+                                use_expand_kernel=False):
     """Systematic-resampled particle draw under sharding.
 
     Every shard ends with exactly its shard-size worth of globally
     systematic-resampled particles. The segment boundaries are computed
     *locally* from the shard-prefix of the global CDF; migration is one
     all_gather (see module docstring).
+
+    ``use_expand_kernel=True`` routes the per-shard pick through the
+    Pallas expand kernel (``ops.resample_expand``): the shard's stratum
+    window is realized by shifting the gathered global starts by the
+    window origin (out[i + s0] = v[max{j : starts_j ≤ i + s0}] =
+    v[max{j : max(starts_j − s0, 0) ≤ i}]) — identical picks, no
+    scatter/gather/cummax over the bank.
     """
     n_local = log_w_shard.shape[0]
     k_shards = jax.lax.axis_size(axis_name)
@@ -111,6 +134,13 @@ def distributed_systematic_pick(key, log_w_shard, locs_shard, axis_name):
         n_global, locs_shard.shape[1]
     )
     my_s0 = my_k * n_local
+    if use_expand_kernel:
+        from ..ops.resample_expand import expand_sorted_segments
+
+        shifted = jnp.maximum(
+            starts_all.astype(jnp.float32) - my_s0.astype(jnp.float32), 0.0
+        )
+        return expand_sorted_segments(shifted, locs_all, n_out=n_local)
     rel = starts_all - my_s0
     particle_ids = jnp.arange(n_global, dtype=jnp.int32)
     # Scatter-max at clipped starts: sources before my window collapse to
@@ -200,17 +230,27 @@ def distributed_systematic_pick_ring(key, log_w_shard, locs_shard,
 
 
 def make_sharded_update_step(mesh, model, resampler, config: SMCConfig,
-                             migration="all_gather"):
+                             migration="auto"):
     """Build a shard_map-ed SMC update step.
 
-    ``migration``: 'all_gather' (default) or 'ring' (O(n_local) peak
-    memory via ppermute rounds — use at pod scale).
+    ``migration``: 'auto' (default — ring when the gathered bank would
+    exceed ``_RING_MIGRATION_BYTES`` per shard, else all_gather),
+    'all_gather', or 'ring' (O(n_local) peak memory via ppermute rounds —
+    what 'auto' picks at pod scale).
 
     Returns ``step(state, outcome, expparams) -> (state, log_norm)`` with
     ``state.particle_locations``/``particle_log_weights`` sharded over the
     ``particles`` mesh axis and all other leaves replicated. Semantics
     match ``smc.smc_update_step`` (Bayes update → ESS → conditional
     Liu–West resample) with explicit collectives.
+
+    Multi-chip fast path: on TPU backends, models exposing the fused
+    Pallas update run it PER SHARD and psum-merge the streaming-logsumexp
+    stats for the global evidence/ESS, and the Liu–West pick routes
+    through the per-shard expand kernel — the same two hot-loop winners
+    as the single-chip engine (round-2 verdict item #2). Both honor the
+    same config switches (``SMCConfig.use_fused_update``,
+    ``LiuWestResampler.use_expand_kernel``).
     """
     axis = PARTICLE_AXIS
 
@@ -223,6 +263,13 @@ def make_sharded_update_step(mesh, model, resampler, config: SMCConfig,
         log_total_likelihood=P(),
         just_resampled=P(),
         n_zero_weight_events=P(),
+    )
+
+    supported = getattr(model, "fused_update_supported", False)
+    use_fused = bool(supported) and (
+        config.use_fused_update
+        if config.use_fused_update is not None
+        else jax.default_backend() == "tpu"
     )
 
     @partial(
@@ -244,13 +291,26 @@ def make_sharded_update_step(mesh, model, resampler, config: SMCConfig,
             outcome_arr = outcome.reshape(1, outcome.shape[-1])
         else:
             outcome_arr = jnp.atleast_1d(outcome)[:1]
-        log_L = jnp.clip(
-            model.log_likelihood(outcome_arr, locs, expparams)[0, :, 0],
-            -87.0,  # lower only — continuous densities may exceed 1
-        )
-        lw_new = log_w + log_L
-        log_norm = global_logsumexp(lw_new, axis)
-        lw_norm = lw_new - log_norm
+        if use_fused:
+            # Per-shard fused Pallas kernel; the raw streaming-logsumexp
+            # stats (lse, lse2) are associative, so the global evidence
+            # and ESS come from one pmax+psum merge each.
+            lw_new, lse_loc, lse2_loc = model.fused_update(
+                outcome_arr[0], log_w, locs, expparams, return_stats=True
+            )
+            log_norm = _merge_lse(lse_loc, axis)
+            lse2 = _merge_lse(lse2_loc, axis)
+            lw_norm = lw_new - log_norm
+            fused_ess = jnp.exp(-(lse2 - 2.0 * log_norm))
+        else:
+            log_L = jnp.clip(
+                model.log_likelihood(outcome_arr, locs, expparams)[0, :, 0],
+                -87.0,  # lower only — continuous densities may exceed 1
+            )
+            lw_new = log_w + log_L
+            log_norm = global_logsumexp(lw_new, axis)
+            lw_norm = lw_new - log_norm
+            fused_ess = None
 
         is_zero = log_norm < jnp.log(config.zero_weight_thresh)
         if config.zero_weight_policy == "reset":
@@ -258,7 +318,12 @@ def make_sharded_update_step(mesh, model, resampler, config: SMCConfig,
             lw_norm = jnp.where(is_zero, uniform, lw_norm)
         zero_events = state.n_zero_weight_events + is_zero.astype(jnp.int32)
 
-        ess = sharded_ess(lw_norm, axis)
+        if fused_ess is not None:
+            ess = fused_ess
+            if config.zero_weight_policy == "reset":
+                ess = jnp.where(is_zero, jnp.float32(n_global), ess)
+        else:
+            ess = sharded_ess(lw_norm, axis)
         need_resample = ess < config.resample_thresh * n_global
 
         def do_resample(locs, lw):
@@ -272,12 +337,30 @@ def make_sharded_update_step(mesh, model, resampler, config: SMCConfig,
             S = sqrtm_psd((h * h) * (
                 cov + resampler.zero_cov_comp * jnp.eye(d)
             ))
-            pick_fn = (
-                distributed_systematic_pick_ring
-                if migration == "ring"
-                else distributed_systematic_pick
-            )
-            picked = pick_fn(k_res, lw, locs, axis)
+            n_glob = locs.shape[0] * jax.lax.axis_size(axis)
+            mig = migration
+            if mig == "auto":
+                # Ring when the gathered (starts + locs) bank would blow
+                # past the per-shard byte budget — at pod scale the
+                # all_gather defeats the memory point of sharding.
+                gathered = n_glob * 4 * (1 + d)
+                mig = "ring" if gathered > _RING_MIGRATION_BYTES else (
+                    "all_gather")
+            if mig == "ring":
+                picked = distributed_systematic_pick_ring(
+                    k_res, lw, locs, axis
+                )
+            else:
+                if resampler.use_expand_kernel is None:
+                    use_expand = (
+                        jax.default_backend() == "tpu"
+                        and (1 << 17) <= n_glob < (1 << 24)
+                    )
+                else:
+                    use_expand = bool(resampler.use_expand_kernel)
+                picked = distributed_systematic_pick(
+                    k_res, lw, locs, axis, use_expand_kernel=use_expand
+                )
             centers = a * picked + (1.0 - a) * mu[None, :]
             k_local = jax.random.fold_in(k_res, jax.lax.axis_index(axis))
             k0, kloop = jax.random.split(k_local)

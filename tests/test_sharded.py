@@ -279,6 +279,134 @@ def test_ring_migration_matches_all_gather(mesh):
     np.testing.assert_array_equal(a, b)
 
 
+def test_shard_map_fused_step_matches_xla_step(mesh):
+    """The per-shard fused Pallas update + psum-merged streaming stats
+    must reproduce the XLA shard_map step (evidence, weights, ESS) —
+    the round-2 verdict's multi-chip fast-path item."""
+    model, prior, state = _setup(seed=21)
+    resampler = qi.LiuWestResampler()
+    ep = {"t": jnp.array([4.0], jnp.float32)}
+
+    cfg_x = SMCConfig(resample_thresh=-1.0, use_fused_update=False)
+    cfg_f = SMCConfig(resample_thresh=-1.0, use_fused_update=True)
+    step_x = make_sharded_update_step(mesh, model, resampler, cfg_x)
+    step_f = make_sharded_update_step(mesh, model, resampler, cfg_f)
+
+    st_x, ln_x = jax.jit(step_x)(shard_state(state, mesh), jnp.int32(1), ep)
+    st_f, ln_f = jax.jit(step_f)(shard_state(state, mesh), jnp.int32(1), ep)
+    np.testing.assert_allclose(float(ln_x), float(ln_f), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_x.particle_log_weights),
+        np.asarray(st_f.particle_log_weights), atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        float(st_x.min_n_ess), float(st_f.min_n_ess), rtol=1e-3
+    )
+
+
+def test_shard_map_fused_step_with_resample(mesh):
+    """Fused sharded step through a forced resample: fires, uniform
+    weights, moments preserved, particles valid."""
+    model, prior, state = _setup(seed=22)
+    skew = jnp.linspace(0.0, 3.0, N)
+    state = state._replace(
+        particle_log_weights=skew - jax.scipy.special.logsumexp(skew)
+    )
+    resampler = qi.LiuWestResampler(use_expand_kernel=True)
+    config = SMCConfig(resample_thresh=1.1, zero_weight_policy="reset",
+                       use_fused_update=True)
+    step = make_sharded_update_step(mesh, model, resampler, config)
+    ep = {"t": jnp.array([0.5], jnp.float32)}
+
+    from qinfer_tpu.utils import weighted_moments
+
+    ref_state, _ = jax.jit(smc_update_step)(
+        model, qi.LiuWestResampler(), SMCConfig(resample_thresh=-1.0),
+        state, jnp.int32(0), ep,
+    )
+    mu_ref, cov_ref = weighted_moments(
+        ref_state.particle_log_weights, ref_state.particle_locations
+    )
+
+    sh_state, _ = jax.jit(step)(shard_state(state, mesh), jnp.int32(0), ep)
+    assert int(sh_state.n_resamples) == 1
+    np.testing.assert_allclose(
+        np.asarray(sh_state.particle_log_weights), -np.log(N), atol=1e-5
+    )
+    locs = np.asarray(sh_state.particle_locations)
+    np.testing.assert_allclose(
+        locs.mean(0), np.asarray(mu_ref),
+        atol=4 * float(jnp.sqrt(cov_ref[0, 0] / N)) + 0.01,
+    )
+    assert np.asarray(model.are_models_valid(jnp.asarray(locs))).all()
+
+
+def test_distributed_pick_expand_kernel_matches_scatter(mesh):
+    """The per-shard expand-kernel pick must produce EXACTLY the scatter
+    path's picks (same starts math, same u0)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from qinfer_tpu.parallel.sharded_smc import distributed_systematic_pick
+
+    rng = np.random.default_rng(8)
+    w = rng.random(N) ** 2
+    w /= w.sum()
+    log_w = jnp.log(jnp.asarray(w, jnp.float32))
+    locs = jnp.asarray(rng.standard_normal((N, 2)), jnp.float32)
+    key = jax.random.PRNGKey(13)
+
+    def run(use_expand):
+        return jax.jit(
+            shard_map(
+                partial(distributed_systematic_pick, axis_name="particles",
+                        use_expand_kernel=use_expand),
+                mesh=make_particle_mesh(N_DEV),
+                in_specs=(P(), P("particles"), P("particles")),
+                out_specs=P("particles"),
+                check_vma=False,
+            )
+        )(key, log_w, locs)
+
+    a = np.asarray(run(False))
+    b = np.asarray(run(True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_migration_auto_threshold(mesh, monkeypatch):
+    """migration='auto' resolves to all_gather below the byte budget and
+    to ring above it (both bit-identical; this checks the switch wiring)."""
+    import qinfer_tpu.parallel.sharded_smc as sharded_smc
+
+    model, prior, state = _setup(seed=23)
+    skew = jnp.linspace(0.0, 4.0, N)
+    state = state._replace(
+        particle_log_weights=skew - jax.scipy.special.logsumexp(skew)
+    )
+    resampler = qi.LiuWestResampler()
+    config = SMCConfig(resample_thresh=1.1, zero_weight_policy="reset")
+    ep = {"t": jnp.array([0.7], jnp.float32)}
+
+    monkeypatch.setattr(sharded_smc, "_RING_MIGRATION_BYTES", 1)
+    step_ring = make_sharded_update_step(
+        mesh, model, resampler, config, migration="auto"
+    )
+    st_r, _ = jax.jit(step_ring)(shard_state(state, mesh), jnp.int32(1), ep)
+    monkeypatch.setattr(sharded_smc, "_RING_MIGRATION_BYTES",
+                        64 * 1024 * 1024)
+    step_ag = make_sharded_update_step(
+        mesh, model, resampler, config, migration="auto"
+    )
+    st_a, _ = jax.jit(step_ag)(shard_state(state, mesh), jnp.int32(1), ep)
+    assert int(st_r.n_resamples) == 1 and int(st_a.n_resamples) == 1
+    np.testing.assert_allclose(
+        np.asarray(st_r.particle_locations),
+        np.asarray(st_a.particle_locations), atol=1e-6,
+    )
+
+
 def test_ring_migration_in_step(mesh):
     """Full sharded step with migration='ring' fires and preserves
     moments like the all_gather variant."""
