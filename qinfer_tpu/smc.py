@@ -268,6 +268,38 @@ def smc_batch_update(model, resampler, config: SMCConfig, state: SMCState,
     return jax.lax.scan(step, state, (jnp.asarray(outcomes), ep_tree))
 
 
+def _streaming_pr1(model, state: SMCState, expparams, outcomes):
+    """Pr(outcome=1 | particle, candidate) as one (N, E) array, or None.
+
+    The streaming EIG/risk paths apply to plain two-outcome models with
+    the canonical {0, 1} outcome labels (BinomialModel etc. have
+    data-dependent outcome sets and take the general path)."""
+    from .models.base import FiniteOutcomeModel
+
+    if not isinstance(model, FiniteOutcomeModel):
+        return None
+    if type(model).pr0 is FiniteOutcomeModel.pr0:  # not implemented
+        return None
+    try:
+        if model.n_outcomes(expparams) != 2:
+            return None
+    except (TypeError, ValueError):
+        return None
+    if getattr(outcomes, "shape", None) != (2,):
+        return None
+    try:
+        if np.asarray(outcomes).tolist() != [0, 1]:
+            return None
+    except jax.errors.TracerArrayConversionError:
+        # Traced outcome labels (jitted caller): accept only when the
+        # model enumerates outcomes with the default arange — then a
+        # (2,) outcome vector is guaranteed to be [0, 1].
+        if type(model).all_outcomes is not FiniteOutcomeModel.all_outcomes:
+            return None
+    return jnp.clip(1.0 - model.pr0(state.particle_locations, expparams),
+                    0.0, 1.0)  # (N, E)
+
+
 def bayes_risk_fn(model, state: SMCState, expparams, Q=None,
                   outcomes=None):
     """Expected posterior quadratic loss per candidate experiment: (E,).
@@ -275,8 +307,12 @@ def bayes_risk_fn(model, state: SMCState, expparams, Q=None,
     risk(e) = Σ_o Pr(o|e) · tr[Q · Cov_post(o, e)]
 
     Reference: ``smc.py — SMCUpdater.bayes_risk`` (call stack SURVEY §3.3).
-    Fully batched over outcomes × candidates; the second-moment contraction
-    is an einsum that XLA maps onto the MXU.
+
+    Two-outcome models stream: everything derives from ONE (N, E) pr1
+    array (the (O, N, E) hypothetical tensor never materializes, and the
+    per-outcome second moments are computed CENTERED at the current
+    posterior mean — f32-stable, no clip-rescue needed). General models
+    take the batched einsum path, also centered.
 
     ``outcomes``: pass pre-enumerated outcomes when expparams are traced
     (models with data-dependent outcome counts, e.g. BinomialModel,
@@ -284,19 +320,48 @@ def bayes_risk_fn(model, state: SMCState, expparams, Q=None,
     """
     if outcomes is None:
         outcomes = model.all_outcomes(expparams)
-    log_w_hyp, log_norm = hypothetical_log_update(model, state, outcomes, expparams)
-    w_hyp = jnp.exp(log_w_hyp)  # (O, E, N)
     locs = state.particle_locations  # (N, D)
     q = (
         jnp.ones((locs.shape[1],), jnp.float32)
         if Q is None
         else jnp.asarray(Q, jnp.float32)
     )
-    mu = jnp.einsum("oen,nd->oed", w_hyp, locs)
-    second = jnp.einsum("oen,nd->oed", w_hyp, locs * locs)
-    # Uncentered difference can go slightly negative in f32; risk is used
-    # for ranking candidates, so clipping at 0 is safe (a centered pass
-    # would materialize an (O,E,N,D) intermediate).
+    w = jnp.exp(state.particle_log_weights)  # (N,)
+    mu_hat = w @ locs  # (D,) current posterior mean — centering point
+    y = locs - mu_hat[None, :]  # (N, D)
+
+    pr1 = _streaming_pr1(model, state, expparams, outcomes)
+    if pr1 is not None:
+        # Sufficient statistics, all MXU contractions over the bank:
+        #   marg1[e]  = Σ w·pr1            (evidence of outcome 1)
+        #   A[e, d]   = Σ w·pr1·y_d        (outcome-1 first moment, centered)
+        #   B[e, d]   = Σ w·pr1·y_d²       (outcome-1 second moment)
+        #   T[d], U[d]= Σ w·y_d, Σ w·y_d²  (totals; outcome-0 = total − 1)
+        wp = w[:, None] * pr1  # (N, E)
+        marg1 = jnp.sum(wp, axis=0)  # (E,)
+        marg0 = jnp.clip(1.0 - marg1, 0.0, 1.0)
+        A = jnp.einsum("ne,nd->ed", wp, y)
+        B = jnp.einsum("ne,nd->ed", wp, y * y)
+        T = w @ y  # (D,) ≈ 0 by centering
+        U = w @ (y * y)  # (D,)
+
+        def tr_qvar(m, a, b):
+            # tr[Q Cov_o] with weights w·L_o/m: E[y²] − E[y]² per dim.
+            m_safe = jnp.maximum(m, 1e-30)[:, None]
+            var = jnp.clip(b / m_safe - (a / m_safe) ** 2, 0.0)
+            return var @ q  # (E,)
+
+        risk = marg1 * tr_qvar(marg1, A, B) + marg0 * tr_qvar(
+            marg0, T[None, :] - A, U[None, :] - B
+        )
+        return risk
+
+    log_w_hyp, log_norm = hypothetical_log_update(model, state, outcomes, expparams)
+    w_hyp = jnp.exp(log_w_hyp)  # (O, E, N)
+    mu = jnp.einsum("oen,nd->oed", w_hyp, y)
+    second = jnp.einsum("oen,nd->oed", w_hyp, y * y)
+    # Centered at the posterior mean: the difference is numerically benign
+    # (clip guards residual f32 rounding only).
     var = jnp.clip(second - mu * mu, 0.0)  # (O, E, D)
     tr_qcov = var @ q  # (O, E)
     pr_o = jnp.exp(log_norm)  # (O, E)
@@ -312,15 +377,30 @@ def expected_information_gain_fn(model, state: SMCState, expparams,
     Reference: ``smc.py — SMCUpdater.expected_information_gain`` (same
     hypothetical machinery; this entropy form is algebraically identical
     and avoids materializing posterior weight tensors twice).
+
+    Two-outcome models stream from one (N, E) pr1 array — the binary
+    entropy h(pr1) replaces the (O, N, E) log-likelihood tensor and its
+    double exponentiation (BASELINE config 5's hot loop).
     """
     if outcomes is None:
         outcomes = model.all_outcomes(expparams)
+    w = jnp.exp(state.particle_log_weights)  # (N,)
+
+    pr1 = _streaming_pr1(model, state, expparams, outcomes)
+    if pr1 is not None:
+        xlogy = jax.scipy.special.xlogy
+        marg1 = w @ pr1  # (E,)
+        marg0 = jnp.clip(1.0 - marg1, 0.0, 1.0)
+        h_marg = -(xlogy(marg1, marg1) + xlogy(marg0, marg0))
+        h_bin = -(xlogy(pr1, pr1) + xlogy(1.0 - pr1, 1.0 - pr1))  # (N, E)
+        h_cond = w @ h_bin  # (E,)
+        return h_marg - h_cond
+
     log_L = jnp.clip(
         model.log_likelihood(outcomes, state.particle_locations, expparams),
         _LOG_TINY,
         0.0,
     )  # (O, N, E)
-    w = jnp.exp(state.particle_log_weights)  # (N,)
     L = jnp.exp(log_L)
     marg = jnp.einsum("n,one->oe", w, L)  # Pr(o|e)
     # xlogy: 0·log(0) = 0 (an eps floor below FLT_MIN gets flushed to zero
