@@ -127,9 +127,19 @@ class TomographyModel(FiniteOutcomeModel):
         Reference: ``TomographyModel.are_models_valid``. Runs on the real
         embedding [[re, −im], [im, re]] — same spectrum as ρ with doubled
         multiplicity — because the TPU backend has no complex dtype.
+        For qubits the spectrum is closed-form (x₀/√2 ± ‖y‖/√2 in any
+        orthonormal basis with B₀ = I/√2), so the PSD test is one
+        elementwise pass — this sits inside the resampler's postselection
+        redraw loop, which re-validates the full bank every round.
         """
-        M = self.basis.real_embedding(modelparams)
-        psd = _psd_via_charpoly(M, self.psd_tol)
+        if self.dim == 2:
+            tau = jnp.linalg.norm(modelparams[:, 1:], axis=1) / jnp.sqrt(
+                jnp.float32(2.0))
+            psd = modelparams[:, 0] / jnp.sqrt(jnp.float32(2.0)) - tau >= (
+                -self.psd_tol)
+        else:
+            M = self.basis.real_embedding(modelparams)
+            psd = _psd_via_charpoly(M, self.psd_tol)
         trace_target = 1.0 / jnp.sqrt(jnp.float32(self.dim))
         if self.allow_subnormalized:
             tr_ok = modelparams[:, 0] <= trace_target + 1e-5
