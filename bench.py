@@ -5,7 +5,25 @@ implementation (float64 NumPy, reference semantics — the reference repo
 publishes no numbers, so the CPU baseline is measured here, per BASELINE.md).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Extra fields (round-3 verdict items 9 / advice 4 — all MEASURED, none
+modeled):
+  n_exp / n_resamples   the experiment window and the resamples that
+                        actually fired in it (from the state counter)
+  window_ms             measured wall time of the headline window
+  relay_fixed_ms        per-execution fixed cost of the TPU relay,
+                        measured as the wall time of a trivial jitted
+                        execution (the window is NOT stationary — the
+                        posterior converges and resamples stop — so
+                        window differencing would overstate it)
+  compute_pps           particle-updates/s excluding the relay fixed cost
+  update_ms/resample_ms measured per-op costs (differenced chained scans,
+                        fixed cost cancels); update_ms·n_exp +
+                        resample_ms·n_resamples + relay_fixed_ms should
+                        explain window_ms
+  est_hbm_gbps          traffic MODEL over the measured compute time
+                        (prefix 'est_' — it is derived, not measured)
 """
 
 import json
@@ -29,7 +47,14 @@ def _experiment_record(n_exp):
     return ts, outcomes
 
 
-def measure_tpu(n_particles=N_PARTICLES, n_exp=N_EXP, repeats=3):
+def _run_window(n_particles, n_exp, repeats=3):
+    """Best-of-repeats wall time of one n_exp batch_update window.
+
+    Distinct initial state per repeat + a host transfer inside the timed
+    region: the TPU relay caches repeated identical executions and can
+    ack block_until_ready early (see .claude/skills/verify/SKILL.md).
+    Returns (best_seconds, n_resamples, final_state).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -40,11 +65,6 @@ def measure_tpu(n_particles=N_PARTICLES, n_exp=N_EXP, repeats=3):
     prior = qi.UniformDistribution([0.0, 1.0])
     resampler = qi.LiuWestResampler()
     config = SMCConfig(zero_weight_policy="reset")
-    # Distinct initial state per repeat + a host transfer inside the timed
-    # region: the TPU relay caches repeated identical executions and can
-    # ack block_until_ready early, so neither identical inputs nor
-    # block_until_ready alone give honest timings (see
-    # .claude/skills/verify/SKILL.md).
     states = [
         init_smc_state(jax.random.PRNGKey(i), model, n_particles, prior)
         for i in range(repeats + 1)
@@ -55,16 +75,13 @@ def measure_tpu(n_particles=N_PARTICLES, n_exp=N_EXP, repeats=3):
     outcomes = jnp.asarray(outcomes)
 
     run = jax.jit(smc_batch_update)
-    # Warmup (compile).
     st, _ = run(model, resampler, config, states[0], outcomes, eps)
-    float(jnp.sum(st.particle_log_weights))
+    float(jnp.sum(st.particle_log_weights))  # warmup/compile
 
     best = float("inf")
     for i in range(repeats):
         t0 = time.perf_counter()
-        st, log_norms = run(
-            model, resampler, config, states[i + 1], outcomes, eps
-        )
+        st, _ = run(model, resampler, config, states[i + 1], outcomes, eps)
         float(jnp.sum(st.particle_log_weights))
         best = min(best, time.perf_counter() - t0)
 
@@ -72,8 +89,68 @@ def measure_tpu(n_particles=N_PARTICLES, n_exp=N_EXP, repeats=3):
     w = np.asarray(jnp.exp(st.particle_log_weights))
     est = float(w @ np.asarray(st.particle_locations[:, 0]))
     assert abs(est - TRUE_OMEGA) < 0.05, f"bench accuracy failure: {est}"
+    return best, int(st.n_resamples)
 
-    return n_particles * n_exp / best
+
+def _phase_costs(n_particles):
+    """Measured per-op costs: one Bayes update (no resample) and one full
+    update+forced-resample step, via differenced chained scans (k vs 4k)
+    so the relay fixed cost cancels."""
+    import jax
+    import jax.numpy as jnp
+
+    import qinfer_tpu as qi
+    from qinfer_tpu.smc import SMCConfig, init_smc_state, smc_update_step
+
+    model = qi.SimplePrecessionModel()
+    prior = qi.UniformDistribution([0.0, 1.0])
+    rs = qi.LiuWestResampler()
+    ep = {"t": jnp.asarray([1.7], jnp.float32)}
+
+    def timed(cfg, iters):
+        def step(st):
+            out = (st.n_resamples + st.particle_log_weights.shape[0]) % 2
+            st, _ = smc_update_step(model, rs, cfg, st, out, ep)
+            return st
+
+        def make_run(k):
+            @jax.jit
+            def run(st0):
+                st, _ = jax.lax.scan(
+                    lambda s, _: (step(s), None), st0, None, length=k
+                )
+                return st
+
+            return run
+
+        k1, k2 = iters, 4 * iters
+        r1, r2 = make_run(k1), make_run(k2)
+
+        def measure(run):
+            st = run(init_smc_state(jax.random.PRNGKey(0), model,
+                                    n_particles, prior))
+            float(jnp.sum(st.particle_log_weights))
+            best = float("inf")
+            for rep in range(2):
+                st0 = init_smc_state(jax.random.PRNGKey(rep + 1), model,
+                                     n_particles, prior)
+                jax.block_until_ready(st0.particle_locations)
+                t0 = time.perf_counter()
+                st = run(st0)
+                float(jnp.sum(st.particle_log_weights))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1, t2 = measure(r1), measure(r2)
+        return max(t2 - t1, 1e-9) / (k2 - k1) * 1e3
+
+    update_ms = timed(
+        SMCConfig(zero_weight_policy="reset", resample_thresh=-1.0), 30
+    )
+    step_resample_ms = timed(
+        SMCConfig(zero_weight_policy="reset", resample_thresh=2.0), 10
+    )
+    return update_ms, max(step_resample_ms - update_ms, 0.0)
 
 
 def measure_cpu_reference(n_particles=N_PARTICLES, n_exp=None):
@@ -118,36 +195,66 @@ def measure_cpu_reference(n_particles=N_PARTICLES, n_exp=None):
 def main():
     # Robustness: a crashed bench records nothing for the round — degrade
     # to a smaller measurement rather than dying (the TPU relay is flaky).
+    n = N_PARTICLES
     try:
-        tpu_pps = measure_tpu()
+        t_head, n_res = _run_window(n, N_EXP)
     except Exception as exc:  # pragma: no cover
         print(f"full-size TPU bench failed ({exc!r}); retrying at 2^18",
               file=sys.stderr)
-        tpu_pps = measure_tpu(n_particles=1 << 18)
+        n = 1 << 18
+        t_head, n_res = _run_window(n, N_EXP)
+    tpu_pps = n * N_EXP / t_head
+
+    extras = {}
     try:
-        cpu_pps = measure_cpu_reference()
+        import jax
+        import jax.numpy as jnp
+
+        # Relay fixed cost: a trivial jitted execution is all fixed cost.
+        triv = jax.jit(lambda x: x + 1.0)
+        triv(jnp.float32(0.0)).block_until_ready()
+        fixed = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(triv(jnp.float32(i)))
+            fixed.append(time.perf_counter() - t0)
+        relay_fixed_ms = sorted(fixed)[1] * 1e3  # median
+        compute_s = max(t_head - relay_fixed_ms * 1e-3, 1e-9)
+
+        update_ms, resample_ms = _phase_costs(n)
+        # Traffic model over the measured compute time (est_: derived).
+        bytes_moved = (N_EXP * 5 * 4 + n_res * (10 + 16 + 8)) * n
+        est_gbps = bytes_moved / compute_s / 1e9
+        extras = {
+            "n_exp": N_EXP,
+            "n_resamples": n_res,
+            "window_ms": round(t_head * 1e3, 1),
+            "relay_fixed_ms": round(relay_fixed_ms, 1),
+            "compute_pps": round(n * N_EXP / compute_s),
+            "update_ms": round(update_ms, 4),
+            "resample_ms": round(resample_ms, 3),
+            "est_hbm_gbps": round(est_gbps, 1),
+            "est_hbm_util_pct_of_819": round(100 * est_gbps / 819.0, 2),
+        }
+    except Exception as exc:  # pragma: no cover
+        print(f"phase breakdown failed ({exc!r})", file=sys.stderr)
+
+    try:
+        # Best-of-2: the shared host is noisy and an unlucky slow run
+        # would flatter vs_baseline.
+        cpu_pps = max(measure_cpu_reference(n_particles=n)
+                      for _ in range(2))
     except Exception:  # pragma: no cover
         cpu_pps = measure_cpu_reference(n_particles=1 << 18)
-    # Achieved HBM bandwidth (traffic model, f32 @ 2^20, D=1):
-    #   update: likelihood reads locs + reads/writes log-weights + fused
-    #     evidence/ESS reductions ≈ 5 passes × 4 MB = 20 MB;
-    #   resample: cdf/cumsum ≈ 3×8 MB + expand kernel streams (6 B/particle
-    #     starts-planes + 6 B values-planes + 4 B out) + moments/smear ≈
-    #     6×4 MB  → ≈ 64 MB. Resamples fire at ~1 per 7 experiments on
-    #     this schedule.
-    n_resamples = round(N_EXP * 0.14)
-    bytes_moved = (N_EXP * 5 * 4 + n_resamples * 64) * N_PARTICLES
-    elapsed = N_PARTICLES * N_EXP / tpu_pps
-    gbps = bytes_moved / elapsed / 1e9
     print(
         json.dumps(
             {
-                "metric": "particle_updates_per_s@1M_SimplePrecession_LiuWest",
+                "metric":
+                    "particle_updates_per_s@1M_SimplePrecession_LiuWest",
                 "value": tpu_pps,
                 "unit": "particle-updates/s",
                 "vs_baseline": tpu_pps / cpu_pps,
-                "hbm_gbps": round(gbps, 1),
-                "hbm_util_pct_of_819": round(100 * gbps / 819.0, 2),
+                **extras,
             }
         )
     )
