@@ -304,7 +304,13 @@ def _split_planes(x):
     f32 (each rounding removes ≥ 8 mantissa bits; 3 × 8 significand bits ≥
     the 24-bit f32 mantissa). Uses ``lax.reduce_precision`` — NOT an
     astype(bf16) round-trip, which XLA's excess-precision simplifier folds
-    to identity on TPU (measured: x − f32(bf16(x)) compiles to 0)."""
+    to identity on TPU (measured: x − f32(bf16(x)) compiles to 0).
+
+    Caveat (measured on-chip, tests/test_tpu_only.py): for |x| ≲ 1e-30 the
+    third plane's residual (~|x|·2⁻¹⁶) falls below bf16's smallest normal
+    (≈1.2e-38) and flushes — sub-ULP loss at ~7e-5 relative. Segment
+    starts are integers and particle coordinates are physical parameters,
+    so the expand kernel never sees that regime."""
     h1 = jax.lax.reduce_precision(x, 8, 7)  # bf16-valued, f32 dtype
     r1 = x - h1
     h2 = jax.lax.reduce_precision(r1, 8, 7)

@@ -8,14 +8,23 @@ backend, hence the env mutation at module import time.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-os.environ["JAX_PLATFORMS"] = "cpu"
+# QINFER_TPU_TESTS=tpu keeps the ambient (real-TPU) backend so the
+# env-gated on-chip kernel tests (tests/test_tpu_only.py) can run:
+#   timeout 580 /opt/venv/bin/python -m pytest tests/test_tpu_only.py -q
+# Everything else runs on the forced 8-virtual-device CPU.
+_ON_TPU = os.environ.get("QINFER_TPU_TESTS") == "tpu"
+
+if not _ON_TPU:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
