@@ -64,6 +64,71 @@ def _resolve_heuristic_core(heuristic_class, updater=None):
     )
 
 
+def _episode_step_factory(model, heuristic_core, resampler, config,
+                          true_model):
+    """One-trial episode step (heuristic → simulate → update → record),
+    shared by the scan-driven aggregate path and the per-dispatch
+    per_update timing path."""
+    model_sim = true_model if true_model is not None else model
+    q = model.Q
+
+    def step(carry, xs):
+        st, true_mp = carry
+        step_idx, k = xs
+        k_h, k_sim, k_ts = jax.random.split(k, 3)
+        ep = heuristic_core.propose(k_h, st, step_idx)
+        outcome = model_sim.simulate_experiment(k_sim, true_mp, ep)[0, 0, 0]
+        st, log_norm = smc_update_step(
+            model, resampler, config, st, outcome, ep
+        )
+        true_mp_next = model_sim.update_timestep(true_mp, ep, key=k_ts)[
+            :, :, 0
+        ]
+        w = jnp.exp(st.particle_log_weights)
+        est = jnp.tensordot(w, st.particle_locations, axes=(0, 0))
+        delta = est - true_mp[0, : est.shape[0]]
+        loss = jnp.sum(q * delta * delta)
+        rec = {
+            "loss": loss,
+            "resample_count": st.n_resamples,
+            "outcome": outcome.astype(jnp.float32),
+            "est": est,
+            "true": true_mp[0],
+            "log_norm": log_norm,
+        }
+        return (st, true_mp_next), rec
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("n_particles",))
+def _episodes_init(model, prior, true_prior, n_particles: int, keys):
+    """Per-trial initial (state, true_mps, scan_key)."""
+
+    def one(key):
+        k_prior, k_true, k_scan = jax.random.split(key, 3)
+        state = init_smc_state(k_prior, model, n_particles, prior)
+        return state, true_prior.sample(k_true, 1), k_scan
+
+    return jax.vmap(one)(keys)
+
+
+@partial(jax.jit, static_argnames=())
+def _episodes_one_step(model, heuristic_core, resampler, config,
+                       true_model, states, true_mps, step_idx, keys):
+    """All trials advance ONE experiment: a single device dispatch, so the
+    host can time each experiment individually (perf_test_multiple's
+    timing_mode='per_update')."""
+    step = _episode_step_factory(model, heuristic_core, resampler, config,
+                                 true_model)
+
+    def one(st, true_mp, k):
+        (st, true_mp), rec = step((st, true_mp), (step_idx, k))
+        return st, true_mp, rec
+
+    return jax.vmap(one)(states, true_mps, keys)
+
+
 @partial(jax.jit, static_argnames=("n_particles", "n_exp"))
 def run_episodes(model, heuristic_core, resampler, config, prior,
                  true_model, true_prior, n_particles: int, n_exp: int, keys):
@@ -74,40 +139,13 @@ def run_episodes(model, heuristic_core, resampler, config, prior,
     depends on the posterior after k through the heuristic — SURVEY §3.5);
     all parallelism is over trials/particles.
     """
+    step = _episode_step_factory(model, heuristic_core, resampler, config,
+                                 true_model)
 
     def one_episode(key):
         k_prior, k_true, k_scan = jax.random.split(key, 3)
         state = init_smc_state(k_prior, model, n_particles, prior)
         true_mps = true_prior.sample(k_true, 1)  # (1, D_true)
-        model_sim = true_model if true_model is not None else model
-        q = model.Q
-
-        def step(carry, xs):
-            st, true_mp = carry
-            step_idx, k = xs
-            k_h, k_sim, k_ts = jax.random.split(k, 3)
-            ep = heuristic_core.propose(k_h, st, step_idx)
-            outcome = model_sim.simulate_experiment(k_sim, true_mp, ep)[0, 0, 0]
-            st, log_norm = smc_update_step(
-                model, resampler, config, st, outcome, ep
-            )
-            true_mp_next = model_sim.update_timestep(true_mp, ep, key=k_ts)[
-                :, :, 0
-            ]
-            w = jnp.exp(st.particle_log_weights)
-            est = jnp.tensordot(w, st.particle_locations, axes=(0, 0))
-            delta = est - true_mp[0, : est.shape[0]]
-            loss = jnp.sum(q * delta * delta)
-            rec = {
-                "loss": loss,
-                "resample_count": st.n_resamples,
-                "outcome": outcome.astype(jnp.float32),
-                "est": est,
-                "true": true_mp[0],
-                "log_norm": log_norm,
-            }
-            return (st, true_mp_next), rec
-
         step_keys = jax.random.split(k_scan, n_exp)
         steps = jnp.arange(n_exp)
         (state, true_mp), recs = jax.lax.scan(
@@ -210,18 +248,28 @@ def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
                        apply=None, allow_failures=False,
                        extra_updater_args=None, resampler=None,
                        progressbar=None, seed=0, key=None,
-                       return_time=False):
+                       return_time=False, timing_mode="aggregate"):
     """Many independent trials, vmapped on device.
 
     Reference: ``perf_testing.py — perf_test_multiple`` (whose ``apply``
-    ipyparallel fan-out is replaced by the on-device trial axis; the
-    ``apply``/``progressbar`` arguments are accepted for API compatibility
-    and ignored).
+    ipyparallel fan-out is replaced by the on-device trial axis; ``apply``
+    and ``allow_failures`` are accepted for API compatibility and ignored).
+
+    ``progressbar``: an ``IPythonProgressBar``-like object (``start``/
+    ``update``/``finished``) — driven across AOT compile + run in
+    aggregate mode and per experiment in per_update mode.
+
+    ``timing_mode``: ``"aggregate"`` (default) runs one compiled scan and
+    divides total device wall time uniformly; ``"per_update"`` advances
+    ALL trials one experiment per device dispatch and records the TRUE
+    wall time of each experiment round in ``elapsed_time`` (a timing
+    *distribution* over the experiment axis — each entry is that round's
+    wall time divided by n_trials, since trials advance in lockstep).
 
     Returns a structured array of shape (n_trials, n_exp) with the
     reference's field layout.
     """
-    del apply, allow_failures, progressbar  # on-device vmap supersedes these
+    del apply, allow_failures  # the on-device vmap supersedes these
 
     if resampler is None:
         resampler = LiuWestResampler()
@@ -239,6 +287,25 @@ def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
         key = jax.random.key(seed)
     keys = jax.random.split(key, n_trials)
 
+    if progressbar is not None:
+        progressbar.start(n_exp)
+
+    if timing_mode == "per_update":
+        out, total = _perf_multiple_per_update(
+            model, heuristic_core, resampler, config, prior, true_model,
+            true_prior, int(n_particles), int(n_exp), keys, progressbar,
+        )
+        if progressbar is not None:
+            progressbar.finished()
+        if return_time:
+            return out, total
+        return out
+    if timing_mode != "aggregate":
+        raise ValueError(
+            f"timing_mode must be 'aggregate' or 'per_update', got "
+            f"{timing_mode!r}"
+        )
+
     # AOT-compile outside the timed block so elapsed_time measures device
     # execution, not the one-time XLA compile (which would dominate small
     # runs — the reference's per-update timing never includes compilation).
@@ -253,7 +320,17 @@ def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
         recs = jax.tree_util.tree_map(
             lambda a: np.asarray(jax.block_until_ready(a)), recs
         )
+    if progressbar is not None:
+        progressbar.finished()
 
+    out = _records_to_structured(recs, n_trials, n_exp)
+    out["elapsed_time"] = t.delta_t / (n_trials * n_exp)
+    if return_time:
+        return out, t.delta_t
+    return out
+
+
+def _records_to_structured(recs, n_trials, n_exp):
     d_est = recs["est"].shape[-1]
     d_true = recs["true"].shape[-1]
     performance_dtype = np.dtype([
@@ -265,12 +342,49 @@ def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
         ("est", float, (d_est,)),
     ])
     out = np.zeros((n_trials, n_exp), dtype=performance_dtype)
-    out["elapsed_time"] = t.delta_t / (n_trials * n_exp)
     out["loss"] = recs["loss"]
     out["resample_count"] = recs["resample_count"]
     out["outcome"] = recs["outcome"]
     out["true"] = recs["true"]
     out["est"] = recs["est"]
-    if return_time:
-        return out, t.delta_t
     return out
+
+
+def _perf_multiple_per_update(model, heuristic_core, resampler, config,
+                              prior, true_model, true_prior, n_particles,
+                              n_exp, keys, progressbar):
+    """Per-dispatch episode driver: true per-experiment wall times."""
+    n_trials = keys.shape[0]
+    states, true_mps, scan_keys = _episodes_init(
+        model, prior, true_prior, n_particles, keys
+    )
+    # AOT-compile the one-step program before timing anything.
+    step_keys0 = jax.vmap(lambda k: jax.random.fold_in(k, 0))(scan_keys)
+    one_args = (model, heuristic_core, resampler, config, true_model)
+    _episodes_one_step.lower(
+        *one_args, states, true_mps, jnp.int32(0), step_keys0
+    ).compile()
+
+    rec_list = []
+    times = np.zeros(n_exp)
+    total = 0.0
+    for idx in range(n_exp):
+        step_keys = jax.vmap(
+            lambda k, i=idx: jax.random.fold_in(k, i)
+        )(scan_keys)
+        with timing() as t:
+            states, true_mps, rec = _episodes_one_step(
+                *one_args, states, true_mps, jnp.int32(idx), step_keys
+            )
+            jax.block_until_ready(states.particle_log_weights)
+        times[idx] = t.delta_t
+        total += t.delta_t
+        rec_list.append(rec)
+        if progressbar is not None:
+            progressbar.update(idx + 1)
+    recs = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs], axis=1), *rec_list
+    )
+    out = _records_to_structured(recs, n_trials, n_exp)
+    out["elapsed_time"] = times[None, :] / n_trials
+    return out, total
