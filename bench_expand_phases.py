@@ -22,11 +22,11 @@ import qinfer_tpu.ops.resample_expand as rex
 
 geom = os.environ.get("BENCH_EXPAND_GEOM")
 if geom:
-    gs, gh, t = (int(x) for x in geom.split(","))
-    rex._GS, rex._GH, rex._T = gs, gh, t
-    rex._G = gh
-    rex._CHUNK = rex._W = gs * gh
-    rex._SUPER = max(8192, t)
+    # "T[,SUPER]" — subtile strata count (chunk/window geometry is fixed
+    # at 128×128 by the MXU one-hot design).
+    parts = [int(x) for x in geom.split(",")]
+    rex._T = parts[0]
+    rex._SUPER = parts[1] if len(parts) > 1 else max(8192, parts[0])
 
 N = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 20)
 D = int(sys.argv[2]) if len(sys.argv) > 2 else 1
