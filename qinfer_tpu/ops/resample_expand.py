@@ -79,12 +79,13 @@ def _expand_kernel(*refs, n_cols, t_size):
 
     n_streams = _N_PLANES * (1 + n_cols)
     stream_hbms = refs[:n_streams]  # starts planes, then col-0 planes, …
-    out_refs = refs[n_streams : n_streams + n_cols]
+    affine_ref = refs[n_streams]  # (2, n_cols) SMEM: per-column scale/shift
+    out_refs = refs[n_streams + 1 : n_streams + 1 + n_cols]
     (cur_j, loaded, inflight, carry, ring) = refs[
-        n_streams + n_cols : n_streams + n_cols + 5
+        n_streams + 1 + n_cols : n_streams + 1 + n_cols + 5
     ]
     # ring: (3 slots, n_streams, ROWS, LANES) bf16
-    sems = refs[n_streams + n_cols + 5]  # DMA sems, shape (3, n_streams)
+    sems = refs[n_streams + n_cols + 6]  # DMA sems, shape (3, n_streams)
 
     k = pl.program_id(0)
 
@@ -275,7 +276,12 @@ def _expand_kernel(*refs, n_cols, t_size):
         )
         _, _, _, acc = jax.lax.while_loop(cond, body, init)
         for d in range(n_cols):
-            out_refs[d][0, :, pl.ds(sub * t_size, t_size)] = acc[d]
+            # Fused per-column affine (Liu–West shrinkage a·x + (1−a)μ):
+            # applied at the output write, saving the engine one full
+            # read+write pass over the picked bank. Identity by default.
+            out_refs[d][0, :, pl.ds(sub * t_size, t_size)] = (
+                acc[d] * affine_ref[0, d] + affine_ref[1, d]
+            )
 
     # Drain any still-inflight prefetch DMA before the kernel exits — an
     # outstanding async copy with an un-waited semaphore aborts the TPU.
@@ -321,11 +327,14 @@ def _split_planes(x):
 
 
 @functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
-def _expand_cols(starts_padded, cols_padded, n_out, interpret):
+def _expand_cols(starts_padded, cols_padded, n_out, interpret, affine=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_cols = len(cols_padded)
+    if affine is None:
+        affine = jnp.stack([jnp.ones((n_cols,), jnp.float32),
+                            jnp.zeros((n_cols,), jnp.float32)])
     n_streams = _N_PLANES * (1 + n_cols)
     # The (·, t_size) intermediates live on the 16 MB VMEM stack; the ring
     # grows with the column count — shrink the subtile for very wide
@@ -345,7 +354,8 @@ def _expand_cols(starts_padded, cols_padded, n_out, interpret):
     outs = pl.pallas_call(
         functools.partial(_expand_kernel, n_cols=n_cols, t_size=t_size),
         grid=(n_super,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_streams,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_streams
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=tuple(
             pl.BlockSpec((1, 1, super_tile), lambda k: (k, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -361,16 +371,21 @@ def _expand_cols(starts_padded, cols_padded, n_out, interpret):
             pltpu.SemaphoreType.DMA((3, n_streams)),
         ],
         interpret=interpret,
-    )(*streams)
+    )(*streams, jnp.asarray(affine, jnp.float32))
     return tuple(o.reshape(-1)[:n_out] for o in outs)
 
 
-def expand_sorted_segments(starts, values, n_out=None, interpret=None):
+def expand_sorted_segments(starts, values, n_out=None, interpret=None,
+                           scale=None, shift=None):
     """out[i] = values[j(i)] with j(i) = max{j : starts[j] ≤ i}.
 
     ``starts``: (n_in,) int32/f32, sorted non-decreasing, starts[0] == 0.
     ``values``: (n_in,) or (n_in, D) f32. Returns matching (n_out[, D]).
     Requires n_out < 2^24 (indices are carried exactly in f32).
+
+    ``scale``/``shift``: optional per-column affine applied in the
+    kernel's output stage (out = picked·scale + shift) — the Liu–West
+    shrinkage fused for free.
     """
     values = jnp.asarray(values, jnp.float32)
     n_in = starts.shape[0]
@@ -397,17 +412,30 @@ def expand_sorted_segments(starts, values, n_out=None, interpret=None):
             jnp.concatenate([values[:, d], zeros])
             for d in range(values.shape[1])
         )
-    outs = _expand_cols(starts_p, cols, n_out, interpret)
+    affine = None
+    if scale is not None or shift is not None:
+        n_cols = len(cols)
+        affine = jnp.stack([
+            jnp.broadcast_to(
+                jnp.asarray(1.0 if scale is None else scale, jnp.float32),
+                (n_cols,)),
+            jnp.broadcast_to(
+                jnp.asarray(0.0 if shift is None else shift, jnp.float32),
+                (n_cols,)),
+        ])
+    outs = _expand_cols(starts_p, cols, n_out, interpret, affine)
     if values.ndim == 1:
         return outs[0]
     return jnp.stack(outs, axis=1)
 
 
-def systematic_expand(key, log_w, values, interpret=None):
+def systematic_expand(key, log_w, values, interpret=None, scale=None,
+                      shift=None):
     """Systematic-resampled values: values[idx], idx ~ systematic(w),
     computed via the expand kernel (no gather/scatter/searchsorted).
 
-    Equivalent to ``values[systematic_resample_indices(key, log_w)]``.
+    Equivalent to ``values[systematic_resample_indices(key, log_w)]``
+    (optionally affine-transformed in-kernel via ``scale``/``shift``).
     """
     from ..utils import normalize_log_weights
 
@@ -422,4 +450,5 @@ def systematic_expand(key, log_w, values, interpret=None):
     # Monotonize (f32 cumsum noise could produce tiny inversions).
     starts = jax.lax.cummax(starts)
     return expand_sorted_segments(starts, values, n_out=n,
-                                  interpret=interpret)
+                                  interpret=interpret, scale=scale,
+                                  shift=shift)

@@ -234,17 +234,22 @@ class LiuWestResampler(Resampler):
             use_expand = bool(self.use_expand_kernel)
         if use_expand:
             # Pallas merge kernel: picks locs[idx] directly with no
-            # gather/scatter; all D columns share one pass.
+            # gather/scatter; all D columns share one pass, and the
+            # Liu–West shrinkage affine rides the kernel's output stage
+            # (one fewer full pass over the picked bank).
             from .ops.resample_expand import systematic_expand
 
-            picked = systematic_expand(k_idx, log_w, locs)
+            centers = systematic_expand(
+                k_idx, log_w, locs, scale=self.a, shift=(1.0 - self.a) * mu
+            )
         elif self.use_systematic:
             # Blocked pick: compaction + block-slice gather + banded
             # select — ~2× the element-gather path on TPU at 1M.
             picked = systematic_pick_blocked(k_idx, log_w, locs)
+            centers = self.a * picked + (1.0 - self.a) * mu[None, :]
         else:
             picked = locs[multinomial_resample_indices(k_idx, log_w)]
-        centers = self.a * picked + (1.0 - self.a) * mu[None, :]
+            centers = self.a * picked + (1.0 - self.a) * mu[None, :]
 
         draw_noise = self.kernel if self.kernel is not None else (
             lambda k, shape: jax.random.normal(k, shape)

@@ -92,6 +92,25 @@ def test_expand_extreme_skew(heavy_at, key):
     np.testing.assert_array_equal(out, vals[idx])
 
 
+def test_expand_fused_affine(key):
+    """scale/shift ride the kernel's output stage: must equal the plain
+    pick followed by the XLA affine (the Liu–West shrinkage fusion)."""
+    n = 4096
+    rng = np.random.default_rng(7)
+    w = rng.random(n)
+    log_w = jnp.log(jnp.asarray(w / w.sum(), jnp.float32))
+    vals = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+    a = 0.98
+    mu = jnp.asarray([0.3, -1.2], jnp.float32)
+    plain = systematic_expand(key, log_w, vals, interpret=True)
+    fused = systematic_expand(key, log_w, vals, interpret=True,
+                              scale=a, shift=(1.0 - a) * mu)
+    np.testing.assert_allclose(
+        np.asarray(fused), a * np.asarray(plain) + (1 - a) * np.asarray(mu),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
 def test_fused_update_matches_xla(key):
     n = 10_000  # deliberately not a tile multiple (exercises padding)
     rng = np.random.default_rng(2)
