@@ -309,6 +309,11 @@ class FiniteOutcomeModel(Model):
         ``return_stats=True`` returns the raw per-shard
         (log_w_unnormalized, lse, lse2) for psum-merging under shard_map
         (see ``ops.fused_update.fused_bayes_update``).
+
+        NOT vmappable (the SMEM scalar operand has no batching rule) —
+        vmapped callers (ensemble harnesses) must run with
+        ``SMCConfig(use_fused_update=False)``; ``perf_test_multiple``
+        does so automatically.
         """
         from ..ops.fused_update import fused_bayes_update, two_outcome_tile
 

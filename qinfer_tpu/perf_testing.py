@@ -272,12 +272,21 @@ def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
     del apply, allow_failures  # the on-device vmap supersedes these
 
     if resampler is None:
-        resampler = LiuWestResampler()
+        # use_expand_kernel=False: like the fused update below, the
+        # expand kernel has no vmap batching rule; ensembles of ≥2^17-
+        # particle trials would otherwise fail to lower on TPU.
+        resampler = LiuWestResampler(use_expand_kernel=False)
     extra = dict(extra_updater_args or {})
     config = SMCConfig(
         resample_thresh=float(extra.pop("resample_thresh", 0.5)),
         zero_weight_policy=extra.pop("zero_weight_policy", "reset"),
         zero_weight_thresh=float(extra.pop("zero_weight_thresh", 1e-10)),
+        # The fused Pallas update cannot be vmapped (its SMEM scalar
+        # operand has no batching rule), and per-trial ensemble banks are
+        # small enough that plain XLA is at parity anyway — the kernel
+        # targets big single-bank runs. Opt back in explicitly only for
+        # single-trial use.
+        use_fused_update=extra.pop("use_fused_update", False),
     )
     if true_prior is None:
         true_prior = prior

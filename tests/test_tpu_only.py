@@ -102,6 +102,21 @@ def test_bf16_plane_split_exact_on_chip():
     np.testing.assert_array_equal(np.asarray(recon(x)), np.asarray(x))
 
 
+def test_vmapped_ensemble_smoke_on_chip():
+    """perf_test_multiple must lower and run on the chip — the vmapped
+    episode scan cannot route through the Pallas kernels (no batching
+    rule for their SMEM operands), and interpret-mode CI cannot catch a
+    lowering failure (round-3 regression: the fused auto-gate broke the
+    soak bench)."""
+    import qinfer_tpu as qi
+
+    model = qi.SimplePrecessionModel()
+    prior = qi.UniformDistribution([0.0, 1.0])
+    perf = qi.perf_test_multiple(8, model, 1024, prior, 20, qi.PGH, seed=2)
+    med = np.median(perf["loss"], axis=0)
+    assert med[-1] < med[0]
+
+
 def test_fused_zoo_spot_on_chip():
     """One non-trivial zoo member (binomial-wrapped RB) through the fused
     route on the chip."""
