@@ -90,6 +90,7 @@ from .heuristics import (
     RiskHeuristic,
 )
 from .perf_testing import perf_test, perf_test_multiple, run_episodes, timing
+from .parallel import DirectViewParallelizedModel
 from . import utils
 
 __all__ = [
@@ -133,6 +134,8 @@ __all__ = [
     "checkpointing", "ThroughputMeter", "trace", "annotate",
     # harness
     "perf_test", "perf_test_multiple", "run_episodes", "timing",
+    # parallel (reference parallel.py parity)
+    "DirectViewParallelizedModel",
     # misc
     "utils",
     "ApproximationWarning", "ResamplerWarning", "ResamplerError",

@@ -8,6 +8,7 @@ collectives (psum for moments/normalization, all-gathers for resampling)
 over ICI/DCN.
 """
 
+from .direct_view import DirectViewParallelizedModel
 from .mesh import (
     PARTICLE_AXIS,
     TRIAL_AXIS,
@@ -28,6 +29,7 @@ from .sharded_smc import (
 )
 
 __all__ = [
+    "DirectViewParallelizedModel",
     "PARTICLE_AXIS",
     "TRIAL_AXIS",
     "make_particle_mesh",

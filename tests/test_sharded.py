@@ -407,6 +407,47 @@ def test_migration_auto_threshold(mesh, monkeypatch):
     )
 
 
+def test_direct_view_parallelized_model(mesh):
+    """Reference-parity wrapper (parallel.py — DirectViewParallelizedModel
+    with the ipyparallel view replaced by a mesh): same numbers as the
+    serial model, engine-compatible, serial_threshold honored."""
+    model = qi.SimplePrecessionModel()
+    par = qi.DirectViewParallelizedModel(
+        underlying_model=model, mesh=mesh, serial_threshold=100
+    )
+    assert par.n_modelparams == 1
+    assert not par.fused_update_supported
+    rng = np.random.default_rng(2)
+    ep = {"t": jnp.array([3.0], jnp.float32)}
+    outcomes = jnp.array([0, 1])
+
+    # Above threshold (sharded path) and below (serial path): identical.
+    for n in (N, 64):
+        mps = jnp.asarray(rng.random((n, 1)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(par.likelihood(outcomes, mps, ep)),
+            np.asarray(model.likelihood(outcomes, mps, ep)),
+            atol=1e-7,
+        )
+
+    # Jitted engine update through the wrapper matches the serial model.
+    prior = qi.UniformDistribution([0.0, 1.0])
+    state = init_smc_state(jax.random.PRNGKey(5), model, N, prior)
+    cfg = SMCConfig(resample_thresh=-1.0)
+    rs = qi.LiuWestResampler()
+    st_s, ln_s = jax.jit(smc_update_step)(
+        model, rs, cfg, state, jnp.int32(1), ep
+    )
+    st_p, ln_p = jax.jit(smc_update_step)(
+        par, rs, cfg, state, jnp.int32(1), ep
+    )
+    np.testing.assert_allclose(float(ln_s), float(ln_p), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_s.particle_log_weights),
+        np.asarray(st_p.particle_log_weights), atol=1e-5,
+    )
+
+
 def test_ring_migration_in_step(mesh):
     """Full sharded step with migration='ring' fires and preserves
     moments like the all_gather variant."""
