@@ -280,6 +280,12 @@ def _streaming_pr1(model, state: SMCState, expparams, outcomes):
         return None
     if type(model).pr0 is FiniteOutcomeModel.pr0:  # not implemented
         return None
+    # The streaming form derives everything from pr0 — only valid when
+    # the model's log_likelihood IS the base pr0-routed default (a
+    # subclass overriding log_likelihood independently must take the
+    # general path; same hazard class as fused_update_supported's gate).
+    if type(model).log_likelihood is not FiniteOutcomeModel.log_likelihood:
+        return None
     try:
         if model.n_outcomes(expparams) != 2:
             return None
