@@ -6,11 +6,15 @@ MXU rounding class). This module asserts fused-update and expand-kernel
 equality against the XLA path ON THE CHIP, plus the bf16-plane exactness
 invariant. It is skipped unless the backend is really a TPU:
 
-    QINFER_TPU_TESTS=tpu timeout 580 /opt/venv/bin/python -m pytest \
-        tests/test_tpu_only.py -q
+    QINFER_TPU_TESTS=tpu timeout 590 /opt/venv/bin/python -m pytest \
+        tests/test_tpu_only.py -q -k "not ensemble"
+    QINFER_TPU_TESTS=tpu timeout 590 /opt/venv/bin/python -m pytest \
+        tests/test_tpu_only.py -q -k "ensemble"
 
 (conftest.py forces the CPU backend unless QINFER_TPU_TESTS=tpu; see
-.claude/skills/verify/SKILL.md. First run pays ~60 s of Mosaic compiles.)
+.claude/skills/verify/SKILL.md. Run in the two halves above — the
+ensemble smoke's episode-scan AOT compile alone takes ~5-8 min on the
+relay, and the whole module exceeds a single 10-minute timeout.)
 """
 
 import numpy as np
