@@ -53,7 +53,7 @@ def _run_window(n_particles, n_exp, repeats=3):
     Distinct initial state per repeat + a host transfer inside the timed
     region: the TPU relay caches repeated identical executions and can
     ack block_until_ready early (see .claude/skills/verify/SKILL.md).
-    Returns (best_seconds, n_resamples, final_state).
+    Returns (best_seconds, n_resamples).
     """
     import jax
     import jax.numpy as jnp

@@ -3,8 +3,9 @@
 
 Separates: (a) CDF/starts prep, (b) bf16 plane-split + chunk tiling,
 (c) split+tile+kernel (expand_sorted_segments), (d) full systematic_expand.
-Optionally patches the kernel geometry (window/group sizes) via env
-BENCH_EXPAND_GEOM="GS,GH,T" BEFORE the first trace, for geometry sweeps.
+Optionally patches the kernel's subtile geometry via env
+BENCH_EXPAND_GEOM="T[,SUPER]" BEFORE the first trace (the chunk/window
+is fixed at 128×128 by the MXU one-hot design).
 
 Usage: timeout 580 /opt/venv/bin/python bench_expand_phases.py [N_log2] [D]
 """

@@ -39,9 +39,11 @@ _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
 _COLLECTIVES = ("all-gather", "all-reduce", "collective-permute",
                 "reduce-scatter", "all-to-all")
 # e.g.:  %ag = f32[8,65536] all-gather(%x), ...
+# Async collectives lower to '-start'/'-done' PAIRS for one transfer —
+# count the start only, or the bytes double.
 _OP_RE = re.compile(
     r"=\s+(?:\()?(\w+)\[([\d,]*)\][^=]*?\b(" + "|".join(_COLLECTIVES)
-    + r")(?:-start|-done)?\("
+    + r")(?:-start)?\("
 )
 
 

@@ -134,7 +134,11 @@ def distributed_systematic_pick(key, log_w_shard, locs_shard, axis_name,
         n_global, locs_shard.shape[1]
     )
     my_s0 = my_k * n_local
-    if use_expand_kernel:
+    # The kernel carries segment starts in f32 — exact only below 2^24.
+    # The single-chip wrapper guards n_out, but here the SHIFTED starts
+    # range up to n_global: fall back to the scatter pick rather than
+    # silently rounding boundaries at pod scale.
+    if use_expand_kernel and n_global < (1 << 24):
         from ..ops.resample_expand import expand_sorted_segments
 
         shifted = jnp.maximum(

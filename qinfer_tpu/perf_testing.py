@@ -282,16 +282,22 @@ def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
         zero_weight_policy=extra.pop("zero_weight_policy", "reset"),
         zero_weight_thresh=float(extra.pop("zero_weight_thresh", 1e-10)),
         # The fused Pallas update cannot be vmapped (its SMEM scalar
-        # operand has no batching rule), and per-trial ensemble banks are
-        # small enough that plain XLA is at parity anyway — the kernel
-        # targets big single-bank runs. Opt back in explicitly only for
-        # single-trial use.
+        # operand has no batching rule) and ALL trial counts — including
+        # n_trials=1 — go through the vmapped episode scan, so True here
+        # fails to lower on TPU; per-trial ensemble banks are small
+        # enough that plain XLA is at parity anyway. The override exists
+        # for interpret-mode (CPU) experiments only.
         use_fused_update=extra.pop("use_fused_update", False),
     )
     if true_prior is None:
         true_prior = prior
     heuristic_core = _resolve_heuristic_core(heuristic_class)
 
+    if timing_mode not in ("aggregate", "per_update"):
+        raise ValueError(
+            f"timing_mode must be 'aggregate' or 'per_update', got "
+            f"{timing_mode!r}"
+        )
     if key is None:
         key = jax.random.key(seed)
     keys = jax.random.split(key, n_trials)
@@ -309,11 +315,6 @@ def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
         if return_time:
             return out, total
         return out
-    if timing_mode != "aggregate":
-        raise ValueError(
-            f"timing_mode must be 'aggregate' or 'per_update', got "
-            f"{timing_mode!r}"
-        )
 
     # AOT-compile outside the timed block so elapsed_time measures device
     # execution, not the one-time XLA compile (which would dominate small
@@ -367,23 +368,26 @@ def _perf_multiple_per_update(model, heuristic_core, resampler, config,
     states, true_mps, scan_keys = _episodes_init(
         model, prior, true_prior, n_particles, keys
     )
+    # Same per-step key derivation as run_episodes' scan (split, not
+    # fold_in) so the two timing modes produce bit-identical experiment
+    # trajectories for the same seed.
+    all_step_keys = jax.vmap(
+        lambda k: jax.random.split(k, n_exp)
+    )(scan_keys)  # (n_trials, n_exp, …)
     # AOT-compile the one-step program before timing anything.
-    step_keys0 = jax.vmap(lambda k: jax.random.fold_in(k, 0))(scan_keys)
     one_args = (model, heuristic_core, resampler, config, true_model)
     _episodes_one_step.lower(
-        *one_args, states, true_mps, jnp.int32(0), step_keys0
+        *one_args, states, true_mps, jnp.int32(0), all_step_keys[:, 0]
     ).compile()
 
     rec_list = []
     times = np.zeros(n_exp)
     total = 0.0
     for idx in range(n_exp):
-        step_keys = jax.vmap(
-            lambda k, i=idx: jax.random.fold_in(k, i)
-        )(scan_keys)
         with timing() as t:
             states, true_mps, rec = _episodes_one_step(
-                *one_args, states, true_mps, jnp.int32(idx), step_keys
+                *one_args, states, true_mps, jnp.int32(idx),
+                all_step_keys[:, idx],
             )
             jax.block_until_ready(states.particle_log_weights)
         times[idx] = t.delta_t

@@ -121,6 +121,20 @@ def test_perf_test_multiple_per_update_timing():
     ]
 
 
+def test_per_update_mode_reproduces_aggregate_trajectories():
+    """Same seed → bit-identical experiment trajectories across timing
+    modes (the per-dispatch driver derives its step keys exactly like the
+    scan), so users can switch modes to get timing detail without
+    changing the statistics."""
+    model = qi.SimplePrecessionModel()
+    prior = qi.UniformDistribution([0.0, 1.0])
+    agg = qi.perf_test_multiple(4, model, 256, prior, 6, qi.PGH, seed=9)
+    per = qi.perf_test_multiple(4, model, 256, prior, 6, qi.PGH, seed=9,
+                                timing_mode="per_update")
+    for f in ("loss", "outcome", "est", "true", "resample_count"):
+        np.testing.assert_array_equal(agg[f], per[f])
+
+
 def test_perf_test_multiple_progressbar_aggregate():
     model = qi.SimplePrecessionModel()
     prior = qi.UniformDistribution([0.0, 1.0])
