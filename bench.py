@@ -195,6 +195,7 @@ def measure_cpu_reference(n_particles=N_PARTICLES, n_exp=None):
 def main():
     # Robustness: a crashed bench records nothing for the round — degrade
     # to a smaller measurement rather than dying (the TPU relay is flaky).
+    t_start = time.perf_counter()
     n = N_PARTICLES
     try:
         t_head, n_res = _run_window(n, N_EXP)
@@ -207,6 +208,12 @@ def main():
 
     extras = {}
     try:
+        # The phase-cost section compiles four more scan programs; on a
+        # cold remote-compile cache that could push past the driver's
+        # timeout and lose the headline line — skip it when the main
+        # window already ate the budget.
+        if time.perf_counter() - t_start > 300.0:
+            raise TimeoutError("headline window consumed the time budget")
         import jax
         import jax.numpy as jnp
 
