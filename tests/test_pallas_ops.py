@@ -21,7 +21,7 @@ from qinfer_tpu.ops.resample_expand import (
 from qinfer_tpu.resamplers import systematic_resample_indices
 
 
-@pytest.mark.parametrize("n", [257, 1000, 5000])
+@pytest.mark.parametrize("n", [257, 1000, 5000, 16384, 16385, 40000])
 def test_expand_matches_searchsorted(n, key):
     rng = np.random.default_rng(n)
     w = rng.random(n) ** 3
