@@ -7,14 +7,17 @@ equality against the XLA path ON THE CHIP, plus the bf16-plane exactness
 invariant. It is skipped unless the backend is really a TPU:
 
     QINFER_TPU_TESTS=tpu timeout 590 /opt/venv/bin/python -m pytest \
-        tests/test_tpu_only.py -q -k "not ensemble"
+        tests/test_tpu_only.py -q -k "not ensemble and not conjugate"
+    QINFER_TPU_TESTS=tpu timeout 590 /opt/venv/bin/python -m pytest \
+        tests/test_tpu_only.py -q -k "conjugate"
     QINFER_TPU_TESTS=tpu timeout 590 /opt/venv/bin/python -m pytest \
         tests/test_tpu_only.py -q -k "ensemble"
 
 (conftest.py forces the CPU backend unless QINFER_TPU_TESTS=tpu; see
-.claude/skills/verify/SKILL.md. Run in the two halves above — the
-ensemble smoke's episode-scan AOT compile alone takes ~5-8 min on the
-relay, and the whole module exceeds a single 10-minute timeout.)
+.claude/skills/verify/SKILL.md. Run in the three slices above — the
+ensemble episode-scan AOT compile and the 300-step conjugate gate each
+take ~5-8 min on the relay, so the whole module exceeds one 10-minute
+timeout.)
 """
 
 import numpy as np
@@ -104,6 +107,46 @@ def test_bf16_plane_split_exact_on_chip():
                 + p3.astype(jnp.float32))
 
     np.testing.assert_array_equal(np.asarray(recon(x)), np.asarray(x))
+
+
+def test_conjugate_beta_posterior_on_chip():
+    """End-to-end numerical gate at full width on the chip: CoinModel +
+    uniform prior after 300 Bernoulli outcomes must match the analytic
+    Beta posterior within Monte-Carlo error — through the deployed
+    configuration (fused update + expand-kernel resamples at 2^20)."""
+    import qinfer_tpu as qi
+    from qinfer_tpu.smc import SMCConfig, init_smc_state, smc_batch_update
+
+    n = 1 << 20
+    n_exp = 300
+    p_true = 0.37
+    rng = np.random.default_rng(0)
+    outcomes = (rng.random(n_exp) < p_true).astype(np.int32)
+    k = int(outcomes.sum())
+
+    model = qi.CoinModel()
+    prior = qi.UniformDistribution([0.0, 1.0])
+    state = init_smc_state(jax.random.PRNGKey(1), model, n, prior)
+    config = SMCConfig(zero_weight_policy="reset")
+    eps = {"dummy": jnp.zeros((n_exp,), jnp.float32)}
+    state, _ = jax.jit(smc_batch_update)(
+        model, qi.LiuWestResampler(), config, state,
+        jnp.asarray(outcomes), eps,
+    )
+    assert int(state.n_resamples) > 0  # expand kernel actually exercised
+
+    w = np.asarray(jnp.exp(state.particle_log_weights), np.float64)
+    locs = np.asarray(state.particle_locations[:, 0], np.float64)
+    mean = w @ locs
+    var = w @ (locs - mean) ** 2
+    a, b = 1 + k, 1 + n_exp - k
+    mean_ref = a / (a + b)
+    var_ref = a * b / ((a + b) ** 2 * (a + b + 1))
+    # Liu–West resampling adds O(1/sqrt(ESS)) Monte-Carlo noise on top of
+    # the analytic posterior; 4 posterior-sd tolerance on the mean and
+    # 15% on the variance hold with huge margin at 2^20 particles.
+    assert abs(mean - mean_ref) < 4 * np.sqrt(var_ref)
+    assert abs(var - var_ref) < 0.15 * var_ref
 
 
 def test_vmapped_ensemble_smoke_on_chip():
