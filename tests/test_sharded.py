@@ -304,6 +304,31 @@ def test_shard_map_fused_step_matches_xla_step(mesh):
     )
 
 
+def test_shard_map_fused_step_binomial(mesh):
+    """The binomial fused tile's return_stats path under shard_map (the
+    combinator overrides fused_update separately from the base class)."""
+    model = qi.BinomialModel(qi.SimplePrecessionModel())
+    prior = qi.UniformDistribution([0.0, 1.0])
+    state = init_smc_state(jax.random.PRNGKey(31), model, N, prior)
+    resampler = qi.LiuWestResampler()
+    ep = {"t": jnp.array([2.0], jnp.float32),
+          "n_meas": jnp.array([40], jnp.int32)}
+
+    cfg_x = SMCConfig(resample_thresh=-1.0, use_fused_update=False)
+    cfg_f = SMCConfig(resample_thresh=-1.0, use_fused_update=True)
+    st_x, ln_x = jax.jit(make_sharded_update_step(
+        mesh, model, resampler, cfg_x
+    ))(shard_state(state, mesh), jnp.int32(13), ep)
+    st_f, ln_f = jax.jit(make_sharded_update_step(
+        mesh, model, resampler, cfg_f
+    ))(shard_state(state, mesh), jnp.int32(13), ep)
+    np.testing.assert_allclose(float(ln_x), float(ln_f), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_x.particle_log_weights),
+        np.asarray(st_f.particle_log_weights), atol=2e-3,
+    )
+
+
 def test_shard_map_fused_step_with_resample(mesh):
     """Fused sharded step through a forced resample: fires, uniform
     weights, moments preserved, particles valid."""
