@@ -343,9 +343,21 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     fns = {"2": bench_config2, "3": bench_config3, "4": bench_config4,
            "5": bench_config5}
+    t0 = time.perf_counter()
     for k, fn in fns.items():
-        if which in ("all", k):
+        if which not in ("all", k):
+            continue
+        # Cold Mosaic compiles or a degraded relay can exceed the runner's
+        # timeout mid-config, losing everything after it — stop cleanly
+        # and keep the lines already printed (each config flushes).
+        if which == "all" and time.perf_counter() - t0 > 420.0:
+            print(f"time budget exhausted before config {k}; run "
+                  f"'bench_configs.py {k}' separately", file=sys.stderr)
+            break
+        try:
             fn()
+        except Exception as exc:
+            print(f"config {k} failed: {exc!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":
