@@ -92,6 +92,32 @@ def test_expand_extreme_skew(heavy_at, key):
     np.testing.assert_array_equal(out, vals[idx])
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_expand_shifted_window_fuzz(seed, key):
+    """The sharded pick's usage pattern: n_out < n_in with starts shifted
+    by the shard's window origin and clamped at 0 — fuzzed against the
+    searchsorted oracle across weight sharpness regimes."""
+    rng = np.random.default_rng(seed)
+    n_in = int(rng.integers(3000, 40000))
+    sharp = [1, 3, 8][seed % 3]
+    w = rng.random(n_in) ** sharp
+    w /= w.sum()
+    t = np.ceil(n_in * np.cumsum(w) - rng.random()).astype(np.int64)
+    starts = np.maximum.accumulate(
+        np.maximum(np.concatenate([[0], t[:-1]]), 0)
+    )
+    n_out = int(rng.integers(256, n_in // 2))
+    s0 = int(rng.integers(0, n_in - n_out))
+    shifted = np.maximum(starts - s0, 0).astype(np.float32)
+    vals = rng.standard_normal(n_in).astype(np.float32)
+    out = np.asarray(expand_sorted_segments(
+        jnp.asarray(shifted), jnp.asarray(vals), n_out=n_out,
+        interpret=True,
+    ))
+    idx = np.searchsorted(shifted, np.arange(n_out), side="right") - 1
+    np.testing.assert_array_equal(out, vals[idx])
+
+
 def test_expand_fused_affine(key):
     """scale/shift ride the kernel's output stage: must equal the plain
     pick followed by the XLA affine (the Liu–West shrinkage fusion)."""
