@@ -66,7 +66,8 @@ def test_fused_update_on_chip_matches_xla(n):
     )
 
 
-@pytest.mark.parametrize("n,d", [(1 << 17, 1), (1 << 20, 1), (1 << 18, 4)])
+@pytest.mark.parametrize("n,d", [(1 << 17, 1), (1 << 20, 1), (1 << 18, 4),
+                                 (1 << 18, 16)])  # d=16: 2-qubit tomography
 def test_expand_kernel_on_chip_exact(n, d):
     """The Mosaic-lowered expand pick must be EXACTLY values[idx]."""
     from qinfer_tpu.ops.resample_expand import systematic_expand
