@@ -69,9 +69,12 @@ class _PGHCore:
 
     Reference: ``heuristics.py — PGH.__call__``: draw two particles x₁, x₂
     from the posterior; t = t_func(1/‖x₁−x₂‖); the inversion field (if any)
-    gets inv_func(x₁). The reference's redraw-on-collision loop becomes an
-    epsilon floor on the distance (collision has probability → 0 and the
-    floor only bounds t, preserving the heuristic's scaling).
+    gets inv_func(x₁). The reference redraws both particles while they
+    collide (up to ``maxiters`` sweeps, then raises); here the redraw is a
+    bounded ``lax.while_loop`` (jittable, vmappable) and the terminal
+    fallback is an epsilon floor on the distance instead of an error —
+    collisions are measure-zero after Liu–West smearing, but post-resample
+    clouds clamped by postselection CAN contain exact duplicates.
     """
 
     inv_field: Optional[str] = None
@@ -80,13 +83,38 @@ class _PGHCore:
     t_func: Callable = _identity
     other_fields: Optional[Tuple[Tuple[str, float], ...]] = None
     eps_dist: float = 1e-12
+    maxiters: int = 10
 
     def propose(self, key, state: SMCState, step_idx):
-        idx = jax.random.categorical(
-            key, state.particle_log_weights, shape=(2,)
+        def draw(k):
+            idx = jax.random.categorical(
+                k, state.particle_log_weights, shape=(2,)
+            )
+            return (
+                state.particle_locations[idx[0]],
+                state.particle_locations[idx[1]],
+            )
+
+        # First draw consumes `key` directly (bit-identical to the
+        # pre-redraw behavior whenever no collision occurs); redraw keys
+        # are folded from it.
+        x1, x2 = draw(key)
+
+        def collided(x1, x2):
+            return jnp.linalg.norm(x1 - x2) == 0.0
+
+        def cond(carry):
+            x1, x2, it = carry
+            return collided(x1, x2) & (it < self.maxiters)
+
+        def body(carry):
+            x1, x2, it = carry
+            y1, y2 = draw(jax.random.fold_in(key, it + 1))
+            return y1, y2, it + 1
+
+        x1, x2, _ = jax.lax.while_loop(
+            cond, body, (x1, x2, jnp.zeros((), jnp.int32))
         )
-        x1 = state.particle_locations[idx[0]]
-        x2 = state.particle_locations[idx[1]]
         dist = jnp.linalg.norm(x1 - x2)
         t = self.t_func(1.0 / jnp.maximum(dist, self.eps_dist))
         ep = {self.t_field: jnp.asarray(t, jnp.float32)[None]}
@@ -125,13 +153,13 @@ class PGH(Heuristic):
                  inv_func=_identity, t_func=_identity, maxiters=10,
                  other_fields=None):
         super().__init__(updater)
-        del maxiters  # collision loop replaced by epsilon floor (see core)
         self.core = _PGHCore(
             inv_field=inv_field,
             t_field=t_field,
             inv_func=inv_func,
             t_func=t_func,
             other_fields=_freeze_fields(other_fields),
+            maxiters=int(maxiters),
         )
 
     def propose(self, key, state, step_idx):

@@ -22,6 +22,7 @@ from .sharded_smc import (
     distributed_systematic_pick,
     distributed_systematic_pick_ring,
     global_logsumexp,
+    make_sharded_expdesign,
     make_sharded_update_step,
     sharded_ess,
     sharded_moments,
@@ -43,5 +44,6 @@ __all__ = [
     "distributed_systematic_pick",
     "distributed_systematic_pick_ring",
     "make_sharded_update_step",
+    "make_sharded_expdesign",
     "sharded_sample",
 ]

@@ -38,6 +38,7 @@ __all__ = [
     "distributed_systematic_pick",
     "distributed_systematic_pick_ring",
     "make_sharded_update_step",
+    "make_sharded_expdesign",
     "sharded_sample",
 ]
 
@@ -255,6 +256,16 @@ def make_sharded_update_step(mesh, model, resampler, config: SMCConfig,
     as the single-chip engine (round-2 verdict item #2). Both honor the
     same config switches (``SMCConfig.use_fused_update``,
     ``LiuWestResampler.use_expand_kernel``).
+
+    Time-dependent models (``update_timestep`` overridden — reference:
+    ``abstract_model.py — Simulatable.update_timestep`` applied every
+    update): the diffusion runs AFTER the shard_map body at GSPMD level,
+    with the same key-split order as ``smc.smc_update_step``. Because the
+    noise is generated from the replicated key over the GLOBAL bank shape
+    (XLA partitions the elementwise RNG; values are placement-independent),
+    a no-resample sharded trajectory is bit-identical to the single-device
+    one. The returned step must run under ``jax.jit`` (it carries a
+    sharding constraint on the diffused bank).
     """
     axis = PARTICLE_AXIS
 
@@ -419,7 +430,112 @@ def make_sharded_update_step(mesh, model, resampler, config: SMCConfig,
         )
         return new_state, log_norm
 
-    return step
+    from ..smc import _is_time_dependent
+
+    if not _is_time_dependent(model):
+        return step
+
+    from jax.sharding import NamedSharding
+
+    locs_sharding = NamedSharding(mesh, P(axis))
+
+    def step_with_timestep(state: SMCState, outcome, expparams):
+        # Mirror smc.smc_update_step's time-dependence block (smc.py)
+        # exactly: same split order, same global-shape update_timestep
+        # call — run at GSPMD level so the diffusion noise matches the
+        # single-device trajectory bit-for-bit.
+        state, log_norm = step(state, outcome, expparams)
+        k_ts, k_next = jax.random.split(state.key)
+        new_locs = model.update_timestep(
+            state.particle_locations, expparams, key=k_ts
+        )[:, :, 0]
+        new_locs = jax.lax.with_sharding_constraint(new_locs, locs_sharding)
+        return state._replace(particle_locations=new_locs, key=k_next), log_norm
+
+    return step_with_timestep
+
+
+def make_sharded_expdesign(mesh, model):
+    """Sharded Bayes risk / expected information gain over a mesh-sharded
+    particle bank.
+
+    Reference: ``src/qinfer/smc.py — SMCUpdater.bayes_risk /
+    expected_information_gain`` (BASELINE config 5's adaptive design loop,
+    here runnable against a pod-sharded bank). The per-shard math is
+    ``smc.bayes_risk_fn`` / ``expected_information_gain_fn`` with
+    ``axis_name`` set — the streaming pr1 sufficient statistics
+    (marg1/A/B/T/U, h_marg/h_cond) and the general-path einsums each merge
+    with one psum across shards, so candidate scoring costs O(n_local·E)
+    per shard plus a handful of (E,)-sized collectives.
+
+    Returns ``(risk, eig)``:
+
+    - ``risk(state, expparams, Q=None, outcomes=None) -> (E,)``
+    - ``eig(state, expparams, outcomes=None) -> (E,)``
+
+    with ``state.particle_locations``/``particle_log_weights`` sharded
+    over the ``particles`` mesh axis (other leaves ignored). Results are
+    replicated. Both are jittable and usable inside episode scans.
+    """
+    from ..smc import bayes_risk_fn, expected_information_gain_fn
+
+    axis = PARTICLE_AXIS
+
+    def _bank_state(locs, log_w):
+        # bayes_risk_fn/expected_information_gain_fn only read the bank;
+        # fill the rest of the SMCState with dummies.
+        z = jnp.zeros((), jnp.float32)
+        return SMCState(
+            particle_locations=locs,
+            particle_log_weights=log_w,
+            key=jax.random.PRNGKey(0),
+            n_resamples=jnp.zeros((), jnp.int32),
+            min_n_ess=z,
+            log_total_likelihood=z,
+            just_resampled=jnp.zeros((), bool),
+            n_zero_weight_events=jnp.zeros((), jnp.int32),
+        )
+
+    specs = dict(
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @partial(shard_map, **specs)
+    def _risk(locs, log_w, expparams, q, outcomes):
+        return bayes_risk_fn(
+            model, _bank_state(locs, log_w), expparams, q, outcomes,
+            axis_name=axis,
+        )
+
+    @partial(shard_map, **specs)
+    def _eig(locs, log_w, expparams, _q, outcomes):
+        return expected_information_gain_fn(
+            model, _bank_state(locs, log_w), expparams, outcomes,
+            axis_name=axis,
+        )
+
+    def risk(state: SMCState, expparams, Q=None, outcomes=None):
+        if outcomes is None:
+            outcomes = model.all_outcomes(expparams)
+        q = jnp.asarray(model.Q if Q is None else Q, jnp.float32)
+        return _risk(
+            state.particle_locations, state.particle_log_weights,
+            expparams, q, jnp.asarray(outcomes),
+        )
+
+    def eig(state: SMCState, expparams, outcomes=None):
+        if outcomes is None:
+            outcomes = model.all_outcomes(expparams)
+        q = jnp.asarray(model.Q, jnp.float32)  # unused; keeps specs shared
+        return _eig(
+            state.particle_locations, state.particle_log_weights,
+            expparams, q, jnp.asarray(outcomes),
+        )
+
+    return risk, eig
 
 
 def sharded_sample(key, log_w_shard, locs_shard, n, axis_name):

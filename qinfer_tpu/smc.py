@@ -106,13 +106,23 @@ def init_smc_state(key, model, n_particles: int, prior: Distribution) -> SMCStat
 # Pure functional core
 # ---------------------------------------------------------------------------
 
-def hypothetical_log_update(model, state: SMCState, outcomes, expparams):
+def _psum(x, axis_name):
+    """psum when running per-shard inside shard_map; identity otherwise."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def hypothetical_log_update(model, state: SMCState, outcomes, expparams,
+                            axis_name=None):
     """Log-space hypothetical update.
 
     Returns (log_w_hyp[O, E, N], log_norm[O, E]) where
     log_norm[o, e] = log Pr(outcome o | expparam e) under the current
     posterior (the evidence used by bayes_risk/EIG), and log_w_hyp is
     normalized over N.
+
+    ``axis_name``: when the particle bank is sharded over a mesh axis
+    (called per-shard inside shard_map), the normalization becomes a
+    pmax+psum logsumexp across shards and N is the local shard size.
 
     Reference: ``smc.py — SMCUpdater.hypothetical_update``.
     """
@@ -124,7 +134,14 @@ def hypothetical_log_update(model, state: SMCState, outcomes, expparams):
     # evidence); −inf from impossible outcomes is floored for f32.
     log_L = jnp.clip(log_L, _LOG_TINY)
     log_w_hyp = state.particle_log_weights[None, :, None] + log_L  # (O, N, E)
-    log_norm = jax.scipy.special.logsumexp(log_w_hyp, axis=1)  # (O, E)
+    if axis_name is None:
+        log_norm = jax.scipy.special.logsumexp(log_w_hyp, axis=1)  # (O, E)
+    else:
+        m = jax.lax.pmax(jnp.max(log_w_hyp, axis=1), axis_name)  # (O, E)
+        s = jax.lax.psum(
+            jnp.sum(jnp.exp(log_w_hyp - m[:, None, :]), axis=1), axis_name
+        )
+        log_norm = m + jnp.log(s)
     log_w_hyp = log_w_hyp - log_norm[:, None, :]
     return jnp.swapaxes(log_w_hyp, 1, 2), log_norm
 
@@ -307,7 +324,7 @@ def _streaming_pr1(model, state: SMCState, expparams, outcomes):
 
 
 def bayes_risk_fn(model, state: SMCState, expparams, Q=None,
-                  outcomes=None):
+                  outcomes=None, axis_name=None):
     """Expected posterior quadratic loss per candidate experiment: (E,).
 
     risk(e) = Σ_o Pr(o|e) · tr[Q · Cov_post(o, e)]
@@ -323,6 +340,12 @@ def bayes_risk_fn(model, state: SMCState, expparams, Q=None,
     ``outcomes``: pass pre-enumerated outcomes when expparams are traced
     (models with data-dependent outcome counts, e.g. BinomialModel,
     enumerate them host-side).
+
+    ``axis_name``: per-shard mode — the bank is sharded over a mesh axis
+    and every contraction over particles psum-merges across shards (the
+    streaming sufficient statistics marg1/A/B/T/U are plain sums, so the
+    merge is one psum each; ``qinfer_tpu.parallel.make_sharded_expdesign``
+    is the shard_map wrapper).
     """
     if outcomes is None:
         outcomes = model.all_outcomes(expparams)
@@ -333,7 +356,8 @@ def bayes_risk_fn(model, state: SMCState, expparams, Q=None,
         else jnp.asarray(Q, jnp.float32)
     )
     w = jnp.exp(state.particle_log_weights)  # (N,)
-    mu_hat = w @ locs  # (D,) current posterior mean — centering point
+    # (D,) current posterior mean — centering point
+    mu_hat = _psum(w @ locs, axis_name)
     y = locs - mu_hat[None, :]  # (N, D)
 
     pr1 = _streaming_pr1(model, state, expparams, outcomes)
@@ -344,12 +368,12 @@ def bayes_risk_fn(model, state: SMCState, expparams, Q=None,
         #   B[e, d]   = Σ w·pr1·y_d²       (outcome-1 second moment)
         #   T[d], U[d]= Σ w·y_d, Σ w·y_d²  (totals; outcome-0 = total − 1)
         wp = w[:, None] * pr1  # (N, E)
-        marg1 = jnp.sum(wp, axis=0)  # (E,)
+        marg1 = _psum(jnp.sum(wp, axis=0), axis_name)  # (E,)
         marg0 = jnp.clip(1.0 - marg1, 0.0, 1.0)
-        A = jnp.einsum("ne,nd->ed", wp, y)
-        B = jnp.einsum("ne,nd->ed", wp, y * y)
-        T = w @ y  # (D,) ≈ 0 by centering
-        U = w @ (y * y)  # (D,)
+        A = _psum(jnp.einsum("ne,nd->ed", wp, y), axis_name)
+        B = _psum(jnp.einsum("ne,nd->ed", wp, y * y), axis_name)
+        T = _psum(w @ y, axis_name)  # (D,) ≈ 0 by centering
+        U = _psum(w @ (y * y), axis_name)  # (D,)
 
         def tr_qvar(m, a, b):
             # tr[Q Cov_o] with weights w·L_o/m: E[y²] − E[y]² per dim.
@@ -362,10 +386,12 @@ def bayes_risk_fn(model, state: SMCState, expparams, Q=None,
         )
         return risk
 
-    log_w_hyp, log_norm = hypothetical_log_update(model, state, outcomes, expparams)
+    log_w_hyp, log_norm = hypothetical_log_update(
+        model, state, outcomes, expparams, axis_name=axis_name
+    )
     w_hyp = jnp.exp(log_w_hyp)  # (O, E, N)
-    mu = jnp.einsum("oen,nd->oed", w_hyp, y)
-    second = jnp.einsum("oen,nd->oed", w_hyp, y * y)
+    mu = _psum(jnp.einsum("oen,nd->oed", w_hyp, y), axis_name)
+    second = _psum(jnp.einsum("oen,nd->oed", w_hyp, y * y), axis_name)
     # Centered at the posterior mean: the difference is numerically benign
     # (clip guards residual f32 rounding only).
     var = jnp.clip(second - mu * mu, 0.0)  # (O, E, D)
@@ -375,7 +401,7 @@ def bayes_risk_fn(model, state: SMCState, expparams, Q=None,
 
 
 def expected_information_gain_fn(model, state: SMCState, expparams,
-                                 outcomes=None):
+                                 outcomes=None, axis_name=None):
     """Mutual information I(outcome; params | e) per candidate: (E,).
 
     IG(e) = H[Σ_n w_n L(o|n,e)] − Σ_n w_n H[L(·|n,e)]
@@ -387,6 +413,10 @@ def expected_information_gain_fn(model, state: SMCState, expparams,
     Two-outcome models stream from one (N, E) pr1 array — the binary
     entropy h(pr1) replaces the (O, N, E) log-likelihood tensor and its
     double exponentiation (BASELINE config 5's hot loop).
+
+    ``axis_name``: per-shard mode (see ``bayes_risk_fn``) — h_marg's
+    marginal and h_cond's conditional-entropy contraction each merge with
+    one psum across shards.
     """
     if outcomes is None:
         outcomes = model.all_outcomes(expparams)
@@ -395,11 +425,11 @@ def expected_information_gain_fn(model, state: SMCState, expparams,
     pr1 = _streaming_pr1(model, state, expparams, outcomes)
     if pr1 is not None:
         xlogy = jax.scipy.special.xlogy
-        marg1 = w @ pr1  # (E,)
+        marg1 = _psum(w @ pr1, axis_name)  # (E,)
         marg0 = jnp.clip(1.0 - marg1, 0.0, 1.0)
         h_marg = -(xlogy(marg1, marg1) + xlogy(marg0, marg0))
         h_bin = -(xlogy(pr1, pr1) + xlogy(1.0 - pr1, 1.0 - pr1))  # (N, E)
-        h_cond = w @ h_bin  # (E,)
+        h_cond = _psum(w @ h_bin, axis_name)  # (E,)
         return h_marg - h_cond
 
     log_L = jnp.clip(
@@ -408,11 +438,11 @@ def expected_information_gain_fn(model, state: SMCState, expparams,
         0.0,
     )  # (O, N, E)
     L = jnp.exp(log_L)
-    marg = jnp.einsum("n,one->oe", w, L)  # Pr(o|e)
+    marg = _psum(jnp.einsum("n,one->oe", w, L), axis_name)  # Pr(o|e)
     # xlogy: 0·log(0) = 0 (an eps floor below FLT_MIN gets flushed to zero
     # and would reintroduce log(0) → NaN for impossible outcomes).
     h_marg = -jnp.sum(jax.scipy.special.xlogy(marg, marg), axis=0)  # (E,)
-    h_cond = -jnp.einsum("n,one,one->e", w, L, log_L)
+    h_cond = -_psum(jnp.einsum("n,one,one->e", w, L, log_L), axis_name)
     return h_marg - h_cond
 
 
