@@ -2,31 +2,42 @@
 """Headline benchmark (BASELINE.md): particle-updates/s at 1M particles on
 SimplePrecessionModel with the Liu–West resampler, vs the reference-CPU
 implementation (float64 NumPy, reference semantics — the reference repo
-publishes no numbers, so the CPU baseline is measured here, per BASELINE.md).
+publishes no numbers, so the CPU baseline is measured; the *denominator*
+is PINNED: a canonical median-of-5 quiet-host measurement recorded in
+BASELINE.json's "published" block, so vs_baseline stops swinging with
+host load; the live remeasurement is reported alongside).
 
-Prints ONE JSON line:
+Prints ONE JSON line ALWAYS — on terminal failure the line carries an
+"error" field instead of silently dying (round-3 verdict item 1: the
+driver must never record `parsed: null` again):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Extra fields (round-3 verdict items 9 / advice 4 — all MEASURED, none
-modeled):
-  n_exp / n_resamples   the experiment window and the resamples that
-                        actually fired in it (from the state counter)
-  window_ms             measured wall time of the headline window
+Methodology (round-4): the relay's per-program fixed cost (~25–36 ms) is
+amortized by chaining K=24 INDEPENDENT 100-experiment windows (distinct
+seeds and outcome records) inside ONE jitted program — an outer lax.scan
+whose carry chains a checksum through every window so nothing can be
+elided or cached. Relay share of the reported window drops to ≤5%
+(`relay_share_pct` field). All retry-able device phases get 3 attempts
+with backoff (the relay throws transient FailedPreconditions).
+
+Extra fields (all MEASURED, none modeled):
+  n_windows/n_exp       K independent windows × experiments per window
+  n_resamples           total resamples fired across all windows
+  window_ms             measured per-window wall time (total/K)
   relay_fixed_ms        per-execution fixed cost of the TPU relay,
                         measured as the wall time of a trivial jitted
-                        execution (the window is NOT stationary — the
-                        posterior converges and resamples stop — so
-                        window differencing would overstate it)
+                        execution
+  relay_share_pct       relay_fixed_ms / total program wall time
   compute_pps           particle-updates/s excluding the relay fixed cost
-  update_ms/resample_ms measured per-op costs (differenced chained scans,
-                        fixed cost cancels); update_ms·n_exp +
-                        resample_ms·n_resamples + relay_fixed_ms should
-                        explain window_ms
+  update_ms/resample_ms measured per-op costs (differenced chained scans)
   est_hbm_gbps          traffic MODEL over the measured compute time
                         (prefix 'est_' — it is derived, not measured)
+  cpu_pps_pinned/_live  the pinned and the live-remeasured baseline
+  vs_baseline_live      value / cpu_pps_live (the old noisy ratio)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -35,26 +46,110 @@ import numpy as np
 
 N_PARTICLES = 1 << 20  # "1M particles" aligned to TPU tiling
 N_EXP = 100
+N_WINDOWS = 24
 TRUE_OMEGA = 0.70710678
+METRIC = "particle_updates_per_s@1M_SimplePrecession_LiuWest"
+UNIT = "particle-updates/s"
 
 
-def _experiment_record(n_exp):
+def _with_retries(fn, attempts=3, backoff=10.0, label="phase"):
+    """Retry a device-touching phase: the TPU relay throws transient
+    errors (FailedPrecondition on first transfer killed the round-3
+    driver capture)."""
+    last = None
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:  # pragma: no cover - relay-dependent
+            last = exc
+            print(f"{label}: attempt {a + 1}/{attempts} failed: {exc!r}",
+                  file=sys.stderr)
+            if a + 1 < attempts:
+                time.sleep(backoff * (a + 1))
+    raise last
+
+
+def _experiment_record(n_exp, seed):
     """Deterministic exp-sparse schedule + simulated outcomes (host side)."""
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     ts = np.minimum((9 / 8) ** np.arange(n_exp), 1e4).astype(np.float32)
     p0 = np.cos(0.5 * TRUE_OMEGA * ts) ** 2
     outcomes = (rng.random(n_exp) >= p0).astype(np.int32)
     return ts, outcomes
 
 
-def _run_window(n_particles, n_exp, repeats=3):
-    """Best-of-repeats wall time of one n_exp batch_update window.
+def _run_windows(n_particles, n_exp, k_windows, repeats=2):
+    """Best-of-repeats wall time of ONE jitted program running k_windows
+    independent n_exp windows back-to-back (outer lax.scan, carry-chained
+    checksum — the relay caches repeated identical executions and can ack
+    block_until_ready early, so each repeat uses distinct initial states
+    and the clock is read only after a forced host transfer).
 
-    Distinct initial state per repeat + a host transfer inside the timed
-    region: the TPU relay caches repeated identical executions and can
-    ack block_until_ready early (see .claude/skills/verify/SKILL.md).
-    Returns (best_seconds, n_resamples).
+    Returns (best_seconds, total_resamples).
     """
+    import jax
+    import jax.numpy as jnp
+
+    import qinfer_tpu as qi
+    from qinfer_tpu.smc import SMCConfig, init_smc_state, smc_batch_update
+
+    model = qi.SimplePrecessionModel()
+    prior = qi.UniformDistribution([0.0, 1.0])
+    resampler = qi.LiuWestResampler()
+    config = SMCConfig(zero_weight_policy="reset")
+
+    ts, _ = _experiment_record(n_exp, 0)
+    eps = {"t": jnp.asarray(ts)}
+    outcomes = jnp.asarray(
+        np.stack([_experiment_record(n_exp, w)[1] for w in range(k_windows)])
+    )  # (K, n_exp) — distinct seeds per window
+
+    def stacked_states(seed0):
+        states = [
+            init_smc_state(jax.random.PRNGKey(seed0 + i), model,
+                           n_particles, prior)
+            for i in range(k_windows)
+        ]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    @jax.jit
+    def run_all(states, outcomes):
+        def one(carry, xs):
+            st0, outs = xs
+            st, _ = smc_batch_update(model, resampler, config, st0, outs, eps)
+            w = jnp.exp(st.particle_log_weights)
+            est = w @ st.particle_locations[:, 0]
+            # Chain the carry through every window so no window can be
+            # elided, reordered, or served from the relay cache.
+            return carry + jnp.sum(st.particle_log_weights), (
+                est, st.n_resamples)
+        chk, (ests, n_res) = jax.lax.scan(
+            one, jnp.float32(0.0), (states, outcomes)
+        )
+        return chk, ests, n_res
+
+    # Warmup/compile on its own state set.
+    chk, ests, n_res = run_all(stacked_states(10_000), outcomes)
+    float(chk)
+
+    best = float("inf")
+    for r in range(repeats):
+        states = stacked_states(1000 * (r + 1))
+        jax.block_until_ready(states.particle_locations)
+        t0 = time.perf_counter()
+        chk, ests, n_res = run_all(states, outcomes)
+        float(chk)  # forced host transfer before reading the clock
+        best = min(best, time.perf_counter() - t0)
+
+    # Sanity: every window's posterior must land on the true frequency.
+    ests = np.asarray(ests)
+    worst = float(np.max(np.abs(ests - TRUE_OMEGA)))
+    assert worst < 0.05, f"bench accuracy failure: worst |est-true|={worst}"
+    return best, int(np.sum(np.asarray(n_res)))
+
+
+def _run_window_single(n_particles, n_exp, repeats=3):
+    """Degraded fallback: ONE window per program (the round-3 shape)."""
     import jax
     import jax.numpy as jnp
 
@@ -69,8 +164,7 @@ def _run_window(n_particles, n_exp, repeats=3):
         init_smc_state(jax.random.PRNGKey(i), model, n_particles, prior)
         for i in range(repeats + 1)
     ]
-
-    ts, outcomes = _experiment_record(n_exp)
+    ts, outcomes = _experiment_record(n_exp, 0)
     eps = {"t": jnp.asarray(ts)}
     outcomes = jnp.asarray(outcomes)
 
@@ -85,7 +179,6 @@ def _run_window(n_particles, n_exp, repeats=3):
         float(jnp.sum(st.particle_log_weights))
         best = min(best, time.perf_counter() - t0)
 
-    # Sanity: posterior must land on the true frequency.
     w = np.asarray(jnp.exp(st.particle_log_weights))
     est = float(w @ np.asarray(st.particle_locations[:, 0]))
     assert abs(est - TRUE_OMEGA) < 0.05, f"bench accuracy failure: {est}"
@@ -160,7 +253,7 @@ def measure_cpu_reference(n_particles=N_PARTICLES, n_exp=None):
     if n_exp is None:
         n_exp = min(N_EXP, 12)  # CPU is slow; extrapolate per-update cost
     rng = np.random.default_rng(1)
-    ts, outcomes = _experiment_record(n_exp)
+    ts, outcomes = _experiment_record(n_exp, 0)
 
     locs = rng.random((n_particles, 1))
     w = np.full(n_particles, 1.0 / n_particles)
@@ -192,79 +285,116 @@ def measure_cpu_reference(n_particles=N_PARTICLES, n_exp=None):
     return n_particles * n_exp / dt
 
 
-def main():
-    # Robustness: a crashed bench records nothing for the round — degrade
-    # to a smaller measurement rather than dying (the TPU relay is flaky).
-    t_start = time.perf_counter()
-    n = N_PARTICLES
+def _pinned_cpu_pps():
+    """The canonical CPU baseline recorded in BASELINE.json (round-3
+    verdict item 6: pin the denominator; report the live remeasurement
+    alongside)."""
     try:
-        t_head, n_res = _run_window(n, N_EXP)
-    except Exception as exc:  # pragma: no cover
-        print(f"full-size TPU bench failed ({exc!r}); retrying at 2^18",
-              file=sys.stderr)
-        n = 1 << 18
-        t_head, n_res = _run_window(n, N_EXP)
-    tpu_pps = n * N_EXP / t_head
-
-    extras = {}
-    try:
-        # The phase-cost section compiles four more scan programs; on a
-        # cold remote-compile cache that could push past the driver's
-        # timeout and lose the headline line — skip it when the main
-        # window already ate the budget.
-        if time.perf_counter() - t_start > 300.0:
-            raise TimeoutError("headline window consumed the time budget")
-        import jax
-        import jax.numpy as jnp
-
-        # Relay fixed cost: a trivial jitted execution is all fixed cost.
-        triv = jax.jit(lambda x: x + 1.0)
-        triv(jnp.float32(0.0)).block_until_ready()
-        fixed = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            float(triv(jnp.float32(i)))
-            fixed.append(time.perf_counter() - t0)
-        relay_fixed_ms = sorted(fixed)[1] * 1e3  # median
-        compute_s = max(t_head - relay_fixed_ms * 1e-3, 1e-9)
-
-        update_ms, resample_ms = _phase_costs(n)
-        # Traffic model over the measured compute time (est_: derived).
-        bytes_moved = (N_EXP * 5 * 4 + n_res * (10 + 16 + 8)) * n
-        est_gbps = bytes_moved / compute_s / 1e9
-        extras = {
-            "n_exp": N_EXP,
-            "n_resamples": n_res,
-            "window_ms": round(t_head * 1e3, 1),
-            "relay_fixed_ms": round(relay_fixed_ms, 1),
-            "compute_pps": round(n * N_EXP / compute_s),
-            "update_ms": round(update_ms, 4),
-            "resample_ms": round(resample_ms, 3),
-            "est_hbm_gbps": round(est_gbps, 1),
-            "est_hbm_util_pct_of_819": round(100 * est_gbps / 819.0, 2),
-        }
-    except Exception as exc:  # pragma: no cover
-        print(f"phase breakdown failed ({exc!r})", file=sys.stderr)
-
-    try:
-        # Best-of-2: the shared host is noisy and an unlucky slow run
-        # would flatter vs_baseline.
-        cpu_pps = max(measure_cpu_reference(n_particles=n)
-                      for _ in range(2))
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE.json")
+        with open(path) as f:
+            return float(json.load(f)["published"]["cpu_f64_pps_pinned"])
     except Exception:  # pragma: no cover
-        cpu_pps = measure_cpu_reference(n_particles=1 << 18)
-    print(
-        json.dumps(
-            {
-                "metric":
-                    "particle_updates_per_s@1M_SimplePrecession_LiuWest",
-                "value": tpu_pps,
-                "unit": "particle-updates/s",
-                "vs_baseline": tpu_pps / cpu_pps,
-                **extras,
-            }
-        )
-    )
+        return None
+
+
+def main():
+    t_start = time.perf_counter()
+    result = {"metric": METRIC, "value": 0.0, "unit": UNIT,
+              "vs_baseline": 0.0}
+    try:
+        n, k = N_PARTICLES, N_WINDOWS
+        try:
+            t_total, n_res = _with_retries(
+                lambda: _run_windows(n, N_EXP, k),
+                label="headline windows",
+            )
+        except Exception as exc:  # pragma: no cover — degraded ladder
+            print(f"K-window bench failed terminally ({exc!r}); "
+                  "falling back to single-window", file=sys.stderr)
+            k = 1
+            try:
+                t_total, n_res = _with_retries(
+                    lambda: _run_window_single(n, N_EXP),
+                    label="single window",
+                )
+            except Exception as exc2:
+                print(f"1M single-window failed ({exc2!r}); retrying at "
+                      "2^18", file=sys.stderr)
+                n = 1 << 18
+                t_total, n_res = _with_retries(
+                    lambda: _run_window_single(n, N_EXP),
+                    label="single window 2^18",
+                )
+        tpu_pps = k * n * N_EXP / t_total
+        result.update(value=tpu_pps, n_windows=k, n_exp=N_EXP,
+                      n_resamples=n_res,
+                      window_ms=round(t_total * 1e3 / k, 2))
+
+        try:
+            # The phase-cost section compiles four more scan programs; on a
+            # cold remote-compile cache that could push past the driver's
+            # timeout and lose the headline line — skip it when the main
+            # window already ate the budget.
+            if time.perf_counter() - t_start > 300.0:
+                raise TimeoutError("headline windows consumed the budget")
+            import jax
+            import jax.numpy as jnp
+
+            # Relay fixed cost: a trivial jitted execution is all fixed
+            # cost (paid ONCE per program — i.e. once per K windows).
+            triv = jax.jit(lambda x: x + 1.0)
+            triv(jnp.float32(0.0)).block_until_ready()
+            fixed = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                float(triv(jnp.float32(i)))
+                fixed.append(time.perf_counter() - t0)
+            relay_fixed_ms = sorted(fixed)[1] * 1e3  # median
+            compute_s = max(t_total - relay_fixed_ms * 1e-3, 1e-9)
+
+            update_ms, resample_ms = _phase_costs(n)
+            # Traffic model over the measured compute time (est_: derived).
+            bytes_moved = (k * N_EXP * 5 * 4 + n_res * (10 + 16 + 8)) * n
+            est_gbps = bytes_moved / compute_s / 1e9
+            result.update(
+                relay_fixed_ms=round(relay_fixed_ms, 1),
+                relay_share_pct=round(100 * relay_fixed_ms
+                                      / (t_total * 1e3), 2),
+                compute_pps=round(k * n * N_EXP / compute_s),
+                update_ms=round(update_ms, 4),
+                resample_ms=round(resample_ms, 3),
+                est_hbm_gbps=round(est_gbps, 1),
+                est_hbm_util_pct_of_819=round(100 * est_gbps / 819.0, 2),
+            )
+        except Exception as exc:  # pragma: no cover
+            print(f"phase breakdown failed ({exc!r})", file=sys.stderr)
+
+        pinned = _pinned_cpu_pps()
+        cpu_live = None
+        try:
+            if time.perf_counter() - t_start < 480.0:
+                # Best-of-2: the shared host is noisy and an unlucky slow
+                # run would flatter the live ratio.
+                cpu_live = max(measure_cpu_reference(n_particles=n)
+                               for _ in range(2))
+        except Exception as exc:  # pragma: no cover
+            print(f"live CPU baseline failed ({exc!r})", file=sys.stderr)
+
+        if pinned is not None:
+            result["vs_baseline"] = tpu_pps / pinned
+            result["cpu_pps_pinned"] = round(pinned)
+            result["baseline"] = "pinned (BASELINE.json published block)"
+        if cpu_live is not None:
+            result["cpu_pps_live"] = round(cpu_live)
+            result["vs_baseline_live"] = tpu_pps / cpu_live
+            if pinned is None:
+                result["vs_baseline"] = tpu_pps / cpu_live
+                result["baseline"] = "live remeasurement (no pinned record)"
+    except Exception as exc:  # pragma: no cover — ALWAYS emit the line
+        result["error"] = repr(exc)
+    print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":

@@ -56,5 +56,81 @@ def main(seed=0, n_exp=80):
     return u
 
 
+def main_sharded(seed=0, n_exp=40, n_devices=None):
+    """The same adaptive loop against a mesh-SHARDED particle bank: the
+    explicit-collective step (``make_sharded_update_step``) advances the
+    posterior and ``make_sharded_expdesign`` scores the EIG of every
+    candidate with psum-merged streaming statistics (round-4 verdict
+    item 3 — BASELINE config 5 running sharded).
+
+    Run CPU-meshed:  env PYTHONPATH= JAX_PLATFORMS=cpu \\
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+        python examples/config5_adaptive_tomography.py --sharded
+    """
+    from qinfer_tpu.parallel import (
+        make_particle_mesh,
+        make_sharded_expdesign,
+        make_sharded_update_step,
+        shard_state,
+    )
+    from qinfer_tpu.smc import SMCConfig, init_smc_state
+
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    mesh = make_particle_mesh(n_devices)
+
+    basis = pauli_basis(1)
+    model = TomographyModel(basis)
+    prior = GinibreDistribution(basis)
+    n_particles = 512 * n_devices
+    state = shard_state(
+        init_smc_state(jax.random.PRNGKey(seed), model, n_particles, prior),
+        mesh,
+    )
+    resampler = qi.LiuWestResampler()
+    config = SMCConfig(zero_weight_policy="reset")
+    step = jax.jit(make_sharded_update_step(mesh, model, resampler, config))
+    _, eig_fn = make_sharded_expdesign(mesh, model)
+    eig_jit = jax.jit(lambda st, c: eig_fn(st, c))
+
+    true_rho = np.array([[0.5, 0.45], [0.45, 0.5]], dtype=np.complex64)
+    true_x = np.asarray(basis.state_to_modelparams(true_rho[None]))[0]
+    projs = [
+        np.array([[0.5, 0.5], [0.5, 0.5]]),
+        np.array([[0.5, -0.5j], [0.5j, 0.5]]),
+        np.array([[1, 0], [0, 0]]),
+    ]
+    effects = [
+        np.asarray(
+            basis.state_to_modelparams(P.astype(np.complex64)[None])
+        )[0]
+        for P in projs
+    ]
+    cand = {"meas": jnp.asarray(np.stack(effects))}
+
+    rng = np.random.default_rng(seed)
+    for _ in range(n_exp):
+        ig = np.asarray(eig_jit(state, cand))
+        e = effects[int(np.argmax(ig))]
+        pr1 = float(np.clip(true_x @ e, 0, 1))
+        outcome = 1 if rng.random() < pr1 else 0
+        state, _ = step(
+            state, jnp.int32(outcome), {"meas": jnp.asarray(e)[None, :]}
+        )
+
+    w = np.asarray(jnp.exp(state.particle_log_weights))
+    est_x = w @ np.asarray(state.particle_locations)
+    err = np.linalg.norm(est_x - true_x)
+    print(f"[sharded x{n_devices}] coordinate error ‖x̂ − x‖ = {err:.4f}, "
+          f"resamples = {int(state.n_resamples)}")
+    assert err < 0.15
+    return state
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--sharded" in _sys.argv:
+        main_sharded()
+    else:
+        main()

@@ -310,10 +310,10 @@ class FiniteOutcomeModel(Model):
         (log_w_unnormalized, lse, lse2) for psum-merging under shard_map
         (see ``ops.fused_update.fused_bayes_update``).
 
-        NOT vmappable (the SMEM scalar operand has no batching rule) —
-        vmapped callers (ensemble harnesses) must run with
-        ``SMCConfig(use_fused_update=False)``; ``perf_test_multiple``
-        does so automatically.
+        Vmappable: ``fused_bayes_update`` carries a custom_vmap rule —
+        big per-trial banks lax.map the kernel over the batch, small
+        banks take the exact-math vectorized XLA equivalent (ensemble
+        harnesses keep the engine defaults).
         """
         from ..ops.fused_update import fused_bayes_update, two_outcome_tile
 

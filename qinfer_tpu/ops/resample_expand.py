@@ -351,27 +351,36 @@ def _expand_cols(starts_padded, cols_padded, n_out, interpret, affine=None):
     streams = []
     for arr in (starts_padded, *cols_padded):
         streams.extend(_tile_chunks(p) for p in _split_planes(arr))
-    outs = pl.pallas_call(
-        functools.partial(_expand_kernel, n_cols=n_cols, t_size=t_size),
-        grid=(n_super,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_streams
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=tuple(
-            pl.BlockSpec((1, 1, super_tile), lambda k: (k, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(n_cols)
-        ),
-        out_shape=tuple(out_struct for _ in range(n_cols)),
-        scratch_shapes=[
-            pltpu.SMEM((1,), jnp.int32),   # cur_j
-            pltpu.SMEM((3,), jnp.int32),   # loaded chunk id per slot
-            pltpu.SMEM((3,), jnp.int32),   # inflight flag per slot
-            pltpu.SMEM((max(n_cols, 1),), jnp.float32),  # boundary carry
-            pltpu.VMEM((3, n_streams, _ROWS, _LANES), jnp.bfloat16),  # ring
-            pltpu.SemaphoreType.DMA((3, n_streams)),
-        ],
-        interpret=interpret,
-    )(*streams, jnp.asarray(affine, jnp.float32))
+
+    # sequential_vmap: vmapped callers (big-bank ensemble resamples — the
+    # auto gate only routes n ≥ 2^17 banks here, so batch sizes are small
+    # and per-trial kernel time dominates) run the kernel once per batch
+    # element via lax.map instead of failing to lower.
+    @jax.custom_batching.sequential_vmap
+    def _call(affine, *streams):
+        return pl.pallas_call(
+            functools.partial(_expand_kernel, n_cols=n_cols, t_size=t_size),
+            grid=(n_super,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_streams
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=tuple(
+                pl.BlockSpec((1, 1, super_tile), lambda k: (k, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_cols)
+            ),
+            out_shape=tuple(out_struct for _ in range(n_cols)),
+            scratch_shapes=[
+                pltpu.SMEM((1,), jnp.int32),   # cur_j
+                pltpu.SMEM((3,), jnp.int32),   # loaded chunk id per slot
+                pltpu.SMEM((3,), jnp.int32),   # inflight flag per slot
+                pltpu.SMEM((max(n_cols, 1),), jnp.float32),  # boundary carry
+                pltpu.VMEM((3, n_streams, _ROWS, _LANES), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((3, n_streams)),
+            ],
+            interpret=interpret,
+        )(*streams, affine)
+
+    outs = _call(jnp.asarray(affine, jnp.float32), *streams)
     return tuple(o.reshape(-1)[:n_out] for o in outs)
 
 

@@ -315,6 +315,113 @@ def test_pgh_all_duplicates_falls_back_to_floor():
     np.testing.assert_allclose(t, 1.0 / core.eps_dist, rtol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# Item 4: vmap batching rules for the Pallas kernels
+# ---------------------------------------------------------------------------
+
+def test_fused_update_vmap_small_bank_matches_xla():
+    """Small banks under vmap take the vectorized XLA-equivalent rule —
+    results must match the engine's plain XLA update path exactly (same
+    elementwise math, same reductions)."""
+    from qinfer_tpu.ops.fused_update import (
+        fused_bayes_update,
+        precession_tile_fn,
+    )
+
+    n, b = 2048, 5
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    log_w = jax.random.normal(k1, (b, n)) * 0.3
+    log_w = log_w - jax.scipy.special.logsumexp(log_w, axis=1, keepdims=True)
+    omega = jax.random.uniform(k2, (b, n))
+    scalars = jnp.stack(
+        [jnp.arange(b) % 2, jnp.linspace(1.0, 9.0, b)], axis=1
+    ).astype(jnp.float32)
+
+    def one(scal, lw, om):
+        return fused_bayes_update(
+            precession_tile_fn, scal, lw, (om,), interpret=True
+        )
+
+    lw_v, ln_v, ess_v = jax.vmap(one)(scalars, log_w, omega)
+
+    for i in range(b):
+        c = jnp.cos(0.5 * omega[i] * scalars[i, 1])
+        pr0 = c * c
+        pr = jnp.where(scalars[i, 0] == 0.0, pr0, 1.0 - pr0)
+        lw_ref = log_w[i] + jnp.maximum(jnp.log(jnp.clip(pr, 1e-35)), -87.0)
+        ln_ref = jax.scipy.special.logsumexp(lw_ref)
+        np.testing.assert_allclose(
+            np.asarray(lw_v[i]), np.asarray(lw_ref - ln_ref), atol=1e-5
+        )
+        np.testing.assert_allclose(float(ln_v[i]), float(ln_ref), atol=1e-5)
+        w = jnp.exp(lw_ref - ln_ref)
+        np.testing.assert_allclose(
+            float(ess_v[i]), float(1.0 / jnp.sum(w * w)), rtol=1e-4
+        )
+
+
+def test_fused_update_vmap_big_bank_maps_kernel():
+    """Banks ≥ the crossover run the kernel per batch element (lax.map) —
+    results must equal per-trial unbatched kernel calls exactly."""
+    from qinfer_tpu.ops.fused_update import (
+        _VMAP_KERNEL_MIN_N,
+        fused_bayes_update,
+        precession_tile_fn,
+    )
+
+    n, b = _VMAP_KERNEL_MIN_N, 2
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    log_w = jnp.zeros((b, n)) - jnp.log(float(n))
+    omega = jax.random.uniform(k2, (b, n))
+    scalars = jnp.asarray([[1.0, 3.0], [0.0, 7.0]], jnp.float32)
+
+    def one(scal, lw, om):
+        return fused_bayes_update(
+            precession_tile_fn, scal, lw, (om,), interpret=True
+        )
+
+    lw_v, ln_v, ess_v = jax.vmap(one)(scalars, log_w, omega)
+    for i in range(b):
+        lw_i, ln_i, ess_i = one(scalars[i], log_w[i], omega[i])
+        np.testing.assert_array_equal(np.asarray(lw_v[i]), np.asarray(lw_i))
+        assert float(ln_v[i]) == float(ln_i)
+        assert float(ess_v[i]) == float(ess_i)
+
+
+def test_expand_kernel_vmap_matches_per_trial():
+    """sequential_vmap rule for the expand pick: vmapped call == stacked
+    per-trial calls, bit-exactly."""
+    from qinfer_tpu.ops.resample_expand import systematic_expand
+
+    n, b, d = 4096, 3, 2
+    keys = jax.random.split(jax.random.PRNGKey(5), b)
+    lw = jax.random.normal(jax.random.PRNGKey(6), (b, n))
+    lw = lw - jax.scipy.special.logsumexp(lw, axis=1, keepdims=True)
+    vals = jax.random.normal(jax.random.PRNGKey(7), (b, n, d))
+
+    batched = jax.vmap(
+        lambda k, w, v: systematic_expand(k, w, v, interpret=True)
+    )(keys, lw, vals)
+    for i in range(b):
+        single = systematic_expand(keys[i], lw[i], vals[i], interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(batched[i]), np.asarray(single)
+        )
+
+
+def test_perf_multiple_keeps_engine_defaults():
+    """perf_test_multiple no longer forces the kernels off: the config it
+    builds carries use_fused_update=None (auto) and the default resampler
+    auto-gates — and the ensemble still runs end-to-end on CPU."""
+    from qinfer_tpu.perf_testing import perf_test_multiple
+
+    model = qi.SimplePrecessionModel()
+    prior = qi.UniformDistribution([0.0, 1.0])
+    perf = perf_test_multiple(3, model, 256, prior, 8, qi.PGH, seed=9)
+    assert perf.shape == (3, 8)
+    assert np.isfinite(perf["loss"]).all()
+
+
 def test_pgh_redraw_scannable():
     """The redrawing PGH core still traces inside a jitted episode scan
     (the perf harness path) — while_loop under scan under jit."""
