@@ -74,13 +74,13 @@ def make_lw(seed):
 
 
 def make_starts(lw, u0):
-    w = jnp.exp(lw)
-    cdf = jnp.cumsum(w)
-    t = jnp.ceil(N * cdf - u0)
-    starts = jnp.maximum(
-        jnp.concatenate([jnp.zeros((1,), jnp.float32), t[:-1]]), 0.0
-    )
-    return jax.lax.cummax(starts)
+    from qinfer_tpu.resamplers import systematic_segment_starts
+
+    # u0 kept in the signature for chaining; the shared helper draws its
+    # own from a key derived from it.
+    key = jax.random.PRNGKey(jnp.int32(u0 * 1000).item()
+                             if not isinstance(u0, float) else int(u0 * 1000))
+    return systematic_segment_starts(key, lw, N)
 
 
 def main():

@@ -338,8 +338,13 @@ def _expand_cols(starts_padded, cols_padded, n_out, interpret, affine=None):
     n_streams = _N_PLANES * (1 + n_cols)
     # The (·, t_size) intermediates live on the 16 MB VMEM stack; the ring
     # grows with the column count — shrink the subtile for very wide
-    # models so both fit.
-    if n_cols <= 6:
+    # models so both fit. Narrow models get a DOUBLE subtile: the kernel
+    # pays ~1 µs of fixed cost per while-loop visit (scalar bookkeeping +
+    # dot dispatches), so halving the visit count at D ≤ 2 is a measured
+    # ~0.2–0.3 ms win at 1M with VMEM to spare.
+    if n_cols <= 2:
+        t_size = 2 * _T
+    elif n_cols <= 6:
         t_size = _T
     elif n_cols <= 12:
         t_size = _T // 2
@@ -446,18 +451,14 @@ def systematic_expand(key, log_w, values, interpret=None, scale=None,
     Equivalent to ``values[systematic_resample_indices(key, log_w)]``
     (optionally affine-transformed in-kernel via ``scale``/``shift``).
     """
-    from ..utils import normalize_log_weights
+    from ..resamplers import systematic_segment_starts
 
     n = log_w.shape[0]
-    w = jnp.exp(normalize_log_weights(log_w)[0])
-    cdf = jnp.cumsum(w)
-    u0 = jax.random.uniform(key, ())
-    t = jnp.ceil(n * cdf - u0)
-    starts = jnp.maximum(
-        jnp.concatenate([jnp.zeros((1,), jnp.float32), t[:-1]]), 0.0
-    )
-    # Monotonize (f32 cumsum noise could produce tiny inversions).
-    starts = jax.lax.cummax(starts)
+    # Shared int32-CDF prep: starts are sorted BY CONSTRUCTION (exact
+    # integer cumsum — see systematic_segment_starts), which the window-
+    # advance logic of the kernel requires, with no monotonizing cummax
+    # pass (~0.19 ms at 1M saved per resample).
+    starts = systematic_segment_starts(key, log_w, n)
     return expand_sorted_segments(starts, values, n_out=n,
                                   interpret=interpret, scale=scale,
                                   shift=shift)

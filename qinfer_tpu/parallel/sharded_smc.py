@@ -84,6 +84,47 @@ def sharded_moments(log_w_shard, locs_shard, axis_name):
     return mu, 0.5 * (cov + cov.T)
 
 
+def _sharded_segment_starts(key, log_w_shard, axis_name):
+    """Per-shard global segment starts for systematic resampling.
+
+    Same int32-quantized CDF as the single-device
+    ``resamplers.systematic_segment_starts``: weights are quantized to
+    int32 (granularity 2⁻³⁰) and all prefix arithmetic — the local cumsum
+    AND the cross-shard exclusive prefix — is exact integer math, so the
+    concatenated global ``t`` sequence is monotone BY CONSTRUCTION across
+    shard boundaries (no monotonizing cummax over the gathered bank), and
+    shard boundaries are bit-identical on both sides (the previous shard's
+    t[-1] and my t_prev share the same integer prefix and the same f32
+    ops). Returns (starts_local int32, n_global).
+    """
+    n_local = log_w_shard.shape[0]
+    k_shards = jax.lax.axis_size(axis_name)
+    n_global = n_local * k_shards
+    my_k = jax.lax.axis_index(axis_name)
+
+    lse = global_logsumexp(log_w_shard, axis_name)
+    w = jnp.exp(log_w_shard - lse)
+    from ..resamplers import _CDF_QUANT, exact_int_cumsum
+
+    q = jnp.round(w * _CDF_QUANT).astype(jnp.int32)
+    local_icdf = exact_int_cumsum(q)  # exact integer prefix
+    totals = jax.lax.all_gather(local_icdf[-1], axis_name)  # (K,) int32
+    prefix = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(totals)[:-1]]
+    )[my_k]
+    total = jnp.maximum(jnp.sum(totals), 1)
+
+    # One shared stratified offset: same sub-key on every shard.
+    u0 = jax.random.uniform(key, ())
+    scale = jnp.float32(n_global) / total.astype(jnp.float32)
+    t = jnp.ceil((prefix + local_icdf).astype(jnp.float32) * scale - u0)
+    t_prev_last = jnp.ceil(prefix.astype(jnp.float32) * scale - u0)
+    starts_local = jnp.maximum(
+        jnp.concatenate([t_prev_last[None], t[:-1]]), 0.0
+    ).astype(jnp.int32)
+    return starts_local, n_global
+
+
 def distributed_systematic_pick(key, log_w_shard, locs_shard, axis_name,
                                 use_expand_kernel=False):
     """Systematic-resampled particle draw under sharding.
@@ -101,28 +142,11 @@ def distributed_systematic_pick(key, log_w_shard, locs_shard, axis_name,
     scatter/gather/cummax over the bank.
     """
     n_local = log_w_shard.shape[0]
-    k_shards = jax.lax.axis_size(axis_name)
-    n_global = n_local * k_shards
     my_k = jax.lax.axis_index(axis_name)
-
-    lse = global_logsumexp(log_w_shard, axis_name)
-    w = jnp.exp(log_w_shard - lse)
-    local_cdf = jnp.cumsum(w)
-    w_total = local_cdf[-1]
-    # Exclusive prefix of shard totals: P_k = Σ_{k'<k} W_{k'}.
-    totals = jax.lax.all_gather(w_total, axis_name)  # (K,)
-    prefix = jnp.concatenate(
-        [jnp.zeros((1,), w.dtype), jnp.cumsum(totals)[:-1]]
-    )[my_k]
-
-    # One shared stratified offset: same sub-key on every shard.
-    u0 = jax.random.uniform(key, ())
-    # Global segment starts of MY particles: t_{j−1} with the previous
-    # shard's last cdf = prefix (locally available — no gather needed).
-    t = jnp.ceil(n_global * (prefix + local_cdf) - u0).astype(jnp.int32)
-    t_prev_last = jnp.ceil(n_global * prefix - u0).astype(jnp.int32)
-    starts_local = jnp.maximum(
-        jnp.concatenate([t_prev_last[None], t[:-1]]), 0
+    # Global segment starts of MY particles: exact int32-CDF prep, sorted
+    # across shards by construction (no monotonizing cummax needed).
+    starts_local, n_global = _sharded_segment_starts(
+        key, log_w_shard, axis_name
     )
 
     # Migration: gather the full (starts, locs) and expand only my strata
@@ -130,7 +154,6 @@ def distributed_systematic_pick(key, log_w_shard, locs_shard, axis_name,
     starts_all = jax.lax.all_gather(
         starts_local, axis_name
     ).reshape(n_global)
-    starts_all = jax.lax.cummax(starts_all)  # monotonize f32 edge noise
     locs_all = jax.lax.all_gather(locs_shard, axis_name).reshape(
         n_global, locs_shard.shape[1]
     )
@@ -176,22 +199,9 @@ def distributed_systematic_pick_ring(key, log_w_shard, locs_shard,
     """
     n_local = log_w_shard.shape[0]
     k_shards = jax.lax.axis_size(axis_name)
-    n_global = n_local * k_shards
     my_k = jax.lax.axis_index(axis_name)
-
-    lse = global_logsumexp(log_w_shard, axis_name)
-    w = jnp.exp(log_w_shard - lse)
-    local_cdf = jnp.cumsum(w)
-    totals = jax.lax.all_gather(local_cdf[-1], axis_name)  # (K,) scalars
-    prefix = jnp.concatenate(
-        [jnp.zeros((1,), w.dtype), jnp.cumsum(totals)[:-1]]
-    )[my_k]
-
-    u0 = jax.random.uniform(key, ())
-    t = jnp.ceil(n_global * (prefix + local_cdf) - u0).astype(jnp.int32)
-    t_prev_last = jnp.ceil(n_global * prefix - u0).astype(jnp.int32)
-    starts_local = jnp.maximum(
-        jnp.concatenate([t_prev_last[None], t[:-1]]), 0
+    starts_local, n_global = _sharded_segment_starts(
+        key, log_w_shard, axis_name
     )
 
     perm = [(i, (i + 1) % k_shards) for i in range(k_shards)]

@@ -115,3 +115,52 @@ def test_custom_kernel(key):
                              postselect=False)
     new = np.asarray(rs(key, model, locs, log_w))
     np.testing.assert_allclose(new, 0.0, atol=1e-6)
+
+
+def test_exact_int_cumsum_matches_flat(key):
+    from qinfer_tpu.resamplers import exact_int_cumsum
+
+    rng = np.random.default_rng(11)
+    for n in (7, 2000, 16384, 16385, 100_000):
+        q = jnp.asarray(rng.integers(0, 2000, n), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(exact_int_cumsum(q)), np.cumsum(np.asarray(q))
+        )
+
+
+def test_segment_starts_sorted_and_counts(key):
+    """The int32-CDF starts are sorted by construction and each particle's
+    stratum count matches its weight to quantization accuracy."""
+    from qinfer_tpu.resamplers import systematic_segment_starts
+
+    n = 50_000
+    rng = np.random.default_rng(5)
+    log_w = jnp.asarray(np.log(rng.random(n) + 1e-3), jnp.float32)
+    log_w = log_w - jax.scipy.special.logsumexp(log_w)
+    starts = np.asarray(systematic_segment_starts(key, log_w, n))
+    assert starts[0] == 0.0
+    assert (np.diff(starts) >= 0).all()
+    # counts: t_j − t_{j−1} ∈ {floor, ceil}(n·w_j) ± 1
+    t = np.concatenate([starts[1:], [n]])
+    counts = t - starts
+    w = np.exp(np.asarray(log_w, np.float64))
+    w = w / w.sum()
+    assert np.abs(counts - n * w).max() <= 1.0 + 1e-3
+    assert counts.sum() == n
+
+
+def test_segment_starts_heavy_particle(key):
+    """A particle carrying ~all the weight yields a long exactly-counted
+    segment (stress for the int quantization and monotone conversion)."""
+    from qinfer_tpu.resamplers import systematic_segment_starts
+
+    n = 4096
+    log_w = np.full(n, -80.0, np.float32)
+    log_w[137] = 0.0
+    log_w = jnp.asarray(log_w) - jax.scipy.special.logsumexp(
+        jnp.asarray(log_w))
+    starts = np.asarray(systematic_segment_starts(key, log_w, n))
+    assert (np.diff(starts) >= 0).all()
+    t = np.concatenate([starts[1:], [n]])
+    counts = t - starts
+    assert counts[137] >= n - 2
