@@ -73,25 +73,22 @@ def make_lw(seed):
     return lw - jax.scipy.special.logsumexp(lw)
 
 
-def make_starts(lw, u0):
+def make_starts(lw, key):
     from qinfer_tpu.resamplers import systematic_segment_starts
 
-    # u0 kept in the signature for chaining; the shared helper draws its
-    # own from a key derived from it.
-    key = jax.random.PRNGKey(jnp.int32(u0 * 1000).item()
-                             if not isinstance(u0, float) else int(u0 * 1000))
     return systematic_segment_starts(key, lw, N)
 
 
 def main():
     # (a) CDF/starts prep only
     def prep_step(c):
-        lw, acc = c
-        starts = make_starts(lw, 0.37)
-        return lw * 0.9999999 - 1e-9, acc + starts[-1] * 1e-9
+        lw, acc, key = c
+        key, k2 = jax.random.split(key)
+        starts = make_starts(lw, k2)
+        return lw * 0.9999999 - 1e-9, acc + starts[-1] * 1e-9, key
 
     timed("prep_cdf_starts", prep_step,
-          lambda s: (make_lw(s), jnp.float32(0.0)))
+          lambda s: (make_lw(s), jnp.float32(0.0), jax.random.PRNGKey(s)))
 
     # (b) plane split + chunk tiling of starts + D columns
     def split_step(c):
@@ -112,7 +109,7 @@ def main():
               for d in range(1 + D)), jnp.float32(0.0)))
 
     # (c) split+tile+kernel with precomputed starts (chained values)
-    starts_fixed = make_starts(make_lw(123), 0.37)
+    starts_fixed = make_starts(make_lw(123), jax.random.PRNGKey(370))
 
     def expand_step(c):
         vals, acc = c

@@ -550,7 +550,14 @@ def make_sharded_expdesign(mesh, model):
 
 def sharded_sample(key, log_w_shard, locs_shard, n, axis_name):
     """Draw n posterior samples under sharding via the Gumbel-max trick:
-    per-draw global argmax of log_w + Gumbel noise (psum-composed)."""
+    per-draw global argmax of log_w + Gumbel noise (psum-composed).
+
+    Cross-shard ties on the max score are broken by the LOWEST shard id
+    (the psum would otherwise double-count the winning particle): the
+    fold_in-per-shard keying makes identical draws for identical
+    duplicated particles (possible after all_gather migration) measure-
+    zero-but-not-impossible in f32, so the invariant is enforced, not
+    assumed."""
     lse = global_logsumexp(log_w_shard, axis_name)
     lw = log_w_shard - lse
     my_k = jax.lax.axis_index(axis_name)
@@ -562,7 +569,11 @@ def sharded_sample(key, log_w_shard, locs_shard, n, axis_name):
         best = jnp.argmax(scores)
         best_val = scores[best]
         gmax = jax.lax.pmax(best_val, axis_name)
-        mine = (best_val == gmax).astype(locs_shard.dtype)
+        at_max = best_val == gmax
+        owner = jax.lax.pmin(
+            jnp.where(at_max, my_k, jnp.iinfo(jnp.int32).max), axis_name
+        )
+        mine = (at_max & (my_k == owner)).astype(locs_shard.dtype)
         return jax.lax.psum(mine * locs_shard[best], axis_name)
 
     keys = jax.random.split(key, n)

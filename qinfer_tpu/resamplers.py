@@ -93,7 +93,18 @@ def systematic_segment_starts(key, log_w, n_draws):
     cumsum — exact, hence monotone by construction under any scan tree —
     followed by monotone ops only (int→f32 cast, positive-constant
     multiply, subtract, ceil are all order-preserving).
+
+    The starts are f32, exact only for ``n_draws < 2^24`` — EVERY consumer
+    (scatter fill-forward, blocked pick, expand kernel, sharded pick)
+    inherits this bound. The expand-kernel wrapper raises on it; the
+    in-engine paths always use n_draws == n_particles, and a 16M-particle
+    single-precision SMC bank is far past f32 weight resolution anyway.
     """
+    if n_draws >= 1 << 24:
+        raise ValueError(
+            "systematic_segment_starts carries starts in f32 — exact only "
+            f"for n_draws < 2^24 (got {n_draws})"
+        )
     w = jnp.exp(normalize_log_weights(log_w)[0])
     q = jnp.round(w * _CDF_QUANT).astype(jnp.int32)
     icdf = exact_int_cumsum(q)  # exact integer prefix — monotone by construction
@@ -123,9 +134,6 @@ def systematic_resample_indices(key, log_w, n_draws=None):
     # mode="drop" discards them (an upper clip would instead let them
     # steal the final slot's max).
     starts = systematic_segment_starts(key, log_w, n_draws).astype(jnp.int32)
-    t = jnp.concatenate(
-        [starts[1:], jnp.full((1,), n_draws, jnp.int32)]
-    )
     particle_ids = jnp.arange(n, dtype=jnp.int32)
     z = jnp.zeros((n_draws,), jnp.int32).at[starts].max(
         particle_ids, mode="drop"
