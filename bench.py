@@ -20,6 +20,15 @@ elided or cached. Relay share of the reported window drops to ≤5%
 (`relay_share_pct` field). All retry-able device phases get 3 attempts
 with backoff (the relay throws transient FailedPreconditions).
 
+Phase-field ordering (round-5): the relay fixed-cost probe (3 trivial
+jitted calls, ~0.1 s) and the live CPU baseline run BEFORE the headline
+windows, so `relay_fixed_ms`/`relay_share_pct`/`compute_pps`/
+`cpu_pps_live` can never be lost to the headline's compile budget
+(round-4's breakdown vanished exactly that way). The per-op scans
+(`update_ms`/`resample_ms`) get their own deadline and persist to
+BENCH_PHASES.json on success; when a run cannot re-measure them it
+attaches the last measured values with `phase_source: "cached"`.
+
 Extra fields (all MEASURED, none modeled):
   n_windows/n_exp       K independent windows × experiments per window
   n_resamples           total resamples fired across all windows
@@ -298,12 +307,56 @@ def _pinned_cpu_pps():
         return None
 
 
+_PHASE_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_PHASES.json"
+)
+
+
+def _measure_relay_fixed_ms():
+    """Per-execution fixed cost of the TPU relay: the wall time of a
+    trivial jitted execution (all fixed cost; paid once per program —
+    i.e. once per K windows). ~0.1 s total; runs BEFORE the headline so
+    the relay fields can never be lost to its compile budget."""
+    import jax
+    import jax.numpy as jnp
+
+    triv = jax.jit(lambda x: x + 1.0)
+    triv(jnp.float32(0.0)).block_until_ready()
+    fixed = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(triv(jnp.float32(i)))
+        fixed.append(time.perf_counter() - t0)
+    return sorted(fixed)[1] * 1e3  # median
+
+
 def main():
     t_start = time.perf_counter()
     result = {"metric": METRIC, "value": 0.0, "unit": UNIT,
               "vs_baseline": 0.0}
     try:
         n, k = N_PARTICLES, N_WINDOWS
+
+        # --- cheap diagnostics FIRST (order is the round-5 fix) ---
+        relay_fixed_ms = None
+        try:
+            relay_fixed_ms = _with_retries(
+                _measure_relay_fixed_ms, label="relay probe")
+            result["relay_fixed_ms"] = round(relay_fixed_ms, 1)
+        except Exception as exc:  # pragma: no cover
+            print(f"relay probe failed ({exc!r})", file=sys.stderr)
+
+        cpu_live = None
+        try:
+            # Best-of-2: the shared host is noisy and an unlucky slow
+            # run would flatter the live ratio.
+            cpu_live = max(measure_cpu_reference(n_particles=n)
+                           for _ in range(2))
+            result["cpu_pps_live"] = round(cpu_live)
+        except Exception as exc:  # pragma: no cover
+            print(f"live CPU baseline failed ({exc!r})", file=sys.stderr)
+
+        # --- headline ---
         try:
             t_total, n_res = _with_retries(
                 lambda: _run_windows(n, N_EXP, k),
@@ -326,67 +379,65 @@ def main():
                     lambda: _run_window_single(n, N_EXP),
                     label="single window 2^18",
                 )
+                try:  # the live ratio must match the degraded width
+                    cpu_live = measure_cpu_reference(n_particles=n)
+                    result["cpu_pps_live"] = round(cpu_live)
+                except Exception:  # pragma: no cover
+                    pass
         tpu_pps = k * n * N_EXP / t_total
         result.update(value=tpu_pps, n_windows=k, n_exp=N_EXP,
                       n_resamples=n_res,
                       window_ms=round(t_total * 1e3 / k, 2))
 
-        try:
-            # The phase-cost section compiles four more scan programs; on a
-            # cold remote-compile cache that could push past the driver's
-            # timeout and lose the headline line — skip it when the main
-            # window already ate the budget.
-            if time.perf_counter() - t_start > 300.0:
-                raise TimeoutError("headline windows consumed the budget")
-            import jax
-            import jax.numpy as jnp
-
-            # Relay fixed cost: a trivial jitted execution is all fixed
-            # cost (paid ONCE per program — i.e. once per K windows).
-            triv = jax.jit(lambda x: x + 1.0)
-            triv(jnp.float32(0.0)).block_until_ready()
-            fixed = []
-            for i in range(3):
-                t0 = time.perf_counter()
-                float(triv(jnp.float32(i)))
-                fixed.append(time.perf_counter() - t0)
-            relay_fixed_ms = sorted(fixed)[1] * 1e3  # median
+        if relay_fixed_ms is not None:
             compute_s = max(t_total - relay_fixed_ms * 1e-3, 1e-9)
-
-            update_ms, resample_ms = _phase_costs(n)
             # Traffic model over the measured compute time (est_: derived).
             bytes_moved = (k * N_EXP * 5 * 4 + n_res * (10 + 16 + 8)) * n
             est_gbps = bytes_moved / compute_s / 1e9
             result.update(
-                relay_fixed_ms=round(relay_fixed_ms, 1),
                 relay_share_pct=round(100 * relay_fixed_ms
                                       / (t_total * 1e3), 2),
                 compute_pps=round(k * n * N_EXP / compute_s),
-                update_ms=round(update_ms, 4),
-                resample_ms=round(resample_ms, 3),
                 est_hbm_gbps=round(est_gbps, 1),
                 est_hbm_util_pct_of_819=round(100 * est_gbps / 819.0, 2),
             )
+
+        # --- per-op scans: own deadline; persist on success, fall back
+        # to the last measured values (provenance-tagged) otherwise ---
+        try:
+            if time.perf_counter() - t_start > 420.0:
+                raise TimeoutError("headline windows consumed the budget")
+            update_ms, resample_ms = _phase_costs(n)
+            result.update(update_ms=round(update_ms, 4),
+                          resample_ms=round(resample_ms, 3),
+                          phase_source="measured")
+            try:
+                with open(_PHASE_CACHE, "w") as f:
+                    json.dump({"n_particles": n,
+                               "update_ms": result["update_ms"],
+                               "resample_ms": result["resample_ms"],
+                               "measured_unix": time.time()}, f)
+            except Exception:  # pragma: no cover
+                pass
         except Exception as exc:  # pragma: no cover
-            print(f"phase breakdown failed ({exc!r})", file=sys.stderr)
+            print(f"phase scans skipped ({exc!r}); using cache",
+                  file=sys.stderr)
+            try:
+                with open(_PHASE_CACHE) as f:
+                    cache = json.load(f)
+                if cache.get("n_particles") == n:
+                    result.update(update_ms=cache["update_ms"],
+                                  resample_ms=cache["resample_ms"],
+                                  phase_source="cached")
+            except Exception:  # pragma: no cover
+                pass
 
         pinned = _pinned_cpu_pps()
-        cpu_live = None
-        try:
-            if time.perf_counter() - t_start < 480.0:
-                # Best-of-2: the shared host is noisy and an unlucky slow
-                # run would flatter the live ratio.
-                cpu_live = max(measure_cpu_reference(n_particles=n)
-                               for _ in range(2))
-        except Exception as exc:  # pragma: no cover
-            print(f"live CPU baseline failed ({exc!r})", file=sys.stderr)
-
         if pinned is not None:
             result["vs_baseline"] = tpu_pps / pinned
             result["cpu_pps_pinned"] = round(pinned)
             result["baseline"] = "pinned (BASELINE.json published block)"
         if cpu_live is not None:
-            result["cpu_pps_live"] = round(cpu_live)
             result["vs_baseline_live"] = tpu_pps / cpu_live
             if pinned is None:
                 result["vs_baseline"] = tpu_pps / cpu_live

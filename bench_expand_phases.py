@@ -90,20 +90,25 @@ def main():
     timed("prep_cdf_starts", prep_step,
           lambda s: (make_lw(s), jnp.float32(0.0), jax.random.PRNGKey(s)))
 
-    # (b) plane split + chunk tiling of starts + D columns
+    # (b) host-side stream prep: pad + value shift + chunk tiling of
+    # starts + D columns (the v4 kernel splits planes IN-kernel, so the
+    # host prep is concatenate/reshape only)
     def split_step(c):
         arrs, acc = c
         total = acc
-        for a in arrs:
-            padded = jnp.concatenate(
-                [a, jnp.zeros((rex._round_up(N, rex._CHUNK)
-                               + 2 * rex._CHUNK - N,), jnp.float32)])
-            for p in rex._split_planes(padded):
-                tiles = rex._tile_chunks(p)
-                total = total + tiles[0, 0, 0].astype(jnp.float32)
+        pad = rex._round_up(N, rex._CHUNK) + 2 * rex._CHUNK - N
+        for i, a in enumerate(arrs):
+            if i == 0:  # starts stream: sentinel pad
+                padded = jnp.concatenate(
+                    [a, jnp.full((pad,), rex._SENTINEL, jnp.float32)])
+            else:  # value stream: shift one right, zero pad
+                padded = jnp.concatenate(
+                    [a[:1], a, jnp.zeros((pad - 1,), jnp.float32)])
+            tiles = rex._tile_chunks(padded)
+            total = total + tiles[0, 0, 0].astype(jnp.float32)
         return tuple(a * 0.9999999 for a in arrs), total
 
-    timed("split_and_tile", split_step,
+    timed("prep_streams", split_step,
           lambda s: (tuple(
               jax.random.normal(jax.random.PRNGKey(s * 7 + d), (N,))
               for d in range(1 + D)), jnp.float32(0.0)))

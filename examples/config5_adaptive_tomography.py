@@ -56,12 +56,15 @@ def main(seed=0, n_exp=80):
     return u
 
 
-def main_sharded(seed=0, n_exp=40, n_devices=None):
-    """The same adaptive loop against a mesh-SHARDED particle bank: the
-    explicit-collective step (``make_sharded_update_step``) advances the
-    posterior and ``make_sharded_expdesign`` scores the EIG of every
-    candidate with psum-merged streaming statistics (round-4 verdict
-    item 3 — BASELINE config 5 running sharded).
+def main_sharded(seed=0, n_exp=160, n_devices=None):
+    """The same adaptive loop against a mesh-SHARDED particle bank, now
+    as ONE jitted ``lax.scan``: ``make_sharded_greedy_propose`` scores
+    the EIG of every candidate with psum-merged streaming statistics,
+    the outcome is simulated on device from the true state, and
+    ``make_sharded_update_step`` advances the sharded posterior
+    (distributed systematic resampling included) — BASELINE config 5's
+    design → measure → update loop closed entirely on the mesh
+    (round-5 verdict item 4).
 
     Run CPU-meshed:  env PYTHONPATH= JAX_PLATFORMS=cpu \\
         XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
@@ -69,8 +72,8 @@ def main_sharded(seed=0, n_exp=40, n_devices=None):
     """
     from qinfer_tpu.parallel import (
         make_particle_mesh,
-        make_sharded_expdesign,
-        make_sharded_update_step,
+        make_sharded_adaptive_episode,
+        make_sharded_greedy_propose,
         shard_state,
     )
     from qinfer_tpu.smc import SMCConfig, init_smc_state
@@ -89,9 +92,6 @@ def main_sharded(seed=0, n_exp=40, n_devices=None):
     )
     resampler = qi.LiuWestResampler()
     config = SMCConfig(zero_weight_policy="reset")
-    step = jax.jit(make_sharded_update_step(mesh, model, resampler, config))
-    _, eig_fn = make_sharded_expdesign(mesh, model)
-    eig_jit = jax.jit(lambda st, c: eig_fn(st, c))
 
     true_rho = np.array([[0.5, 0.45], [0.45, 0.5]], dtype=np.complex64)
     true_x = np.asarray(basis.state_to_modelparams(true_rho[None]))[0]
@@ -108,22 +108,18 @@ def main_sharded(seed=0, n_exp=40, n_devices=None):
     ]
     cand = {"meas": jnp.asarray(np.stack(effects))}
 
-    rng = np.random.default_rng(seed)
-    for _ in range(n_exp):
-        ig = np.asarray(eig_jit(state, cand))
-        e = effects[int(np.argmax(ig))]
-        pr1 = float(np.clip(true_x @ e, 0, 1))
-        outcome = 1 if rng.random() < pr1 else 0
-        state, _ = step(
-            state, jnp.int32(outcome), {"meas": jnp.asarray(e)[None, :]}
-        )
-
-    w = np.asarray(jnp.exp(state.particle_log_weights))
-    est_x = w @ np.asarray(state.particle_locations)
-    err = np.linalg.norm(est_x - true_x)
-    print(f"[sharded x{n_devices}] coordinate error ‖x̂ − x‖ = {err:.4f}, "
+    propose = make_sharded_greedy_propose(mesh, model, cand, use_eig=True)
+    episode = make_sharded_adaptive_episode(
+        mesh, model, resampler, config, propose, true_x, n_exp
+    )
+    state, records = episode(state, jax.random.PRNGKey(seed + 1))
+    mean_traj = np.asarray(records["est_mean"])
+    err0 = float(np.linalg.norm(mean_traj[0] - true_x))
+    err = float(np.linalg.norm(mean_traj[-1] - true_x))
+    print(f"[sharded x{n_devices}] scanned episode ({n_exp} exps): "
+          f"first-step err {err0:.4f} → last-step err {err:.4f}, "
           f"resamples = {int(state.n_resamples)}")
-    assert err < 0.15
+    assert err < 0.2 and err < err0 / 3
     return state
 
 

@@ -10,38 +10,52 @@ This kernel exploits the sortedness and streams the bank once:
 - the output strata are processed in T-sized subtiles by a sequential TPU
   grid (several subtiles per grid step); per-stratum quantities live on
   the LANE axis end-to-end, so no sublane↔lane relayouts ever happen;
-- the particle segment starts and the particle values are streamed through
-  a 3-slot VMEM ring of (128, 128)-shaped chunks in NATURAL row-major
-  order (chunk c element (r, l) = flat c·16384 + r·128 + l), so the host-
-  side tiling is a free reshape — no transpose pass. DMAs are prefetched
-  one chunk ahead; a skew loop advances the window one chunk at a time
-  when a subtile's covering particles span beyond the resident window;
-- within a subtile the rank r(t) = #{starts ≤ t} over the resident window
-  is found hierarchically: each ROW of the chunk is one sorted group of
-  128 starts whose maximum is its lane-127 element (a static slice — no
-  side stream); a (rows × T) compare against the group maxima counts the
-  fully-covered groups, an MXU one-hot row-select fetches the boundary
-  group's starts, and a second compare finishes the rank;
+- the segment starts and the particle values are streamed RAW (one f32
+  stream each) through a 3-slot VMEM ring of (128, 128)-shaped chunks in
+  NATURAL row-major order (chunk c element (r, l) = flat c·16384 +
+  r·128 + l), so the host-side tiling is a free pad+reshape — no plane
+  splits, no transpose pass. DMAs are prefetched one chunk ahead; a skew
+  loop advances the window one chunk at a time when a subtile's covering
+  particles span beyond the resident window;
+- the VALUE streams are pre-shifted by one element (shifted[j] =
+  values[j−1]): the covering particle of a stratum with in-window rank
+  r = 128·fg + r_lo is then simply the shifted stream's element
+  (fg, r_lo) — the rank one-hots select the value DIRECTLY, with no
+  second (chi, clo) one-hot level, and a stratum whose covering particle
+  is the last element of the *previous* chunk (in-window rank 0) resolves
+  through shifted element (0, 0) with no boundary-carry state at all;
+- within a subtile the rank r over the resident window is found
+  hierarchically: each ROW of the chunk is one sorted group of 128 starts
+  whose maximum is its lane-127 element (a static slice — no side
+  stream); a (rows × T) compare against the group maxima counts the
+  fully-covered groups (fg), an MXU one-hot row-select fetches the
+  boundary group's starts, and a second compare finishes the rank (r_lo);
 - EVERY cross-lane/sublane reduction (rank counts, the final picked-value
   collapse) is a dot against a ones vector on the MXU — the VPU's
   cross-lane reduce of a (2048, 128) tile costs ~2 µs while the MXU matvec
-  is ~0.2 µs, and this was the dominant cost of the round-2 kernel;
-- Mosaic lowers f32 MXU matmuls to a SINGLE bf16 pass (silently rounding),
-  so every f32 stream is pre-split into THREE bf16 planes
-  (v = p1 + p2 + p3, the standard exact 3-way split: 3 × 8 significand
-  bits ≥ the 24-bit f32 mantissa) and each select is three single-pass
-  bf16 dots whose one-hot-masked sums have exactly one nonzero term —
-  exact by construction;
-- the window is ONE chunk (16384 particles) and advances by whole chunks;
-  a stratum whose covering particle is the last element of the *previous*
-  window resolves through a per-column SMEM boundary carry (rank 0 under
-  the current window ⇒ covering = last particle of the prior chunk, by
-  the advance rule: the window only advances past a chunk once all its
-  starts are ≤ the saturating stratum).
+  is ~0.2 µs (this was the dominant cost of the round-2 kernel);
+- Mosaic lowers f32 MXU matmuls to a SINGLE bf16 pass (silently
+  rounding), so every select operand is an EXACT bf16 plane, built
+  in-kernel from the raw chunk:
+  · starts are clamped to the window-relative range [−1, T] (order-
+    preserving for every comparison the subtile makes) and split into
+    two planes hi = 256·⌊s/256⌋, lo = s − hi — both exact bf16 for the
+    integer range involved;
+  · values are split into three planes by two Veltkamp multiplications
+    (C = 2¹⁶+1: p = C·x − (C·x − x) is x rounded to 8 significand bits,
+    so v = p1 + p2 + p3 exactly, each plane bf16-representable — the
+    same planes ``lax.reduce_precision(·, 8, 7)`` produces);
+  each stream's planes are concatenated on the LANE axis and selected
+  with ONE dot_general (operands stay f32 — bf16-VALUED, so Mosaic's
+  operand rounding is the identity and the f32-accumulated one-term
+  masked sums are exact by construction).
 
-No gathers, no scatters, no sort. Total traffic is O(n·(D+1)) reads +
+No gathers, no scatters, no sort. Total traffic is O(n·(D+1)) f32 reads +
 O(n·D) writes. Indices are carried in f32 (exact for n ≤ 2^24; the
-wrapper asserts this).
+wrapper asserts this). Value magnitudes must stay below ~5e34 (the
+Veltkamp multiply must not overflow) and above ~1e-30 (the third plane's
+residual falls below bf16's smallest normal and flushes — sub-ULP loss);
+particle coordinates are physical parameters, far inside both bounds.
 
 Reference parity: replaces the index-draw + ``locs[idx]`` hot loop of
 ``src/qinfer/resamplers.py — LiuWestResampler.__call__``.
@@ -63,29 +77,52 @@ _LANES = 128  # group size (the TPU lane width)
 _CHUNK = _ROWS * _LANES  # particles per DMA chunk (16384) = window width
 _W = _CHUNK
 _SUPER = 8192  # strata per grid step (= n_sub · t_size)
-_T = 2048  # strata per subtile (shrunk for very wide models)
+_T = 2048  # strata per subtile (resized per column count in _expand_cols)
 
 # dot_general contractions (all operands 2-D, strata on lanes):
 #   count:  ones (1, R) · cmp (R, T) → (1, T), contracting R
-#   select: ring (R, L) · onehot (R, T) → (L, T), contracting R
+#   select: planes (R, K·L) · onehot (R, T) → (K·L, T), contracting R
 _COUNT_DNUMS = (((1,), (0,)), ((), ()))
 _SELECT_DNUMS = (((0,), (0,)), ((), ()))
-_N_PLANES = 3
+_N_PLANES = 3  # exact bf16 planes per f32 value stream
+_VELTKAMP = np.float32((1 << 16) + 1)
+
+
+def _split_planes(v):
+    """Exact 3-way split v == p1 + p2 + p3 into bf16-VALUED f32 planes
+    via two Veltkamp multiplications: p = C·x − (C·x − x) with C = 2¹⁶+1
+    is x rounded to 8 significand bits (Dekker 1971), i.e. the same plane
+    ``lax.reduce_precision(x, 8, 7)`` yields, but from three VPU ops that
+    lower inside a Mosaic kernel. Each plane strips ≥ 8 mantissa bits, so
+    three planes cover f32's 24-bit significand exactly.
+
+    Caveats (measured on-chip, tests/test_tpu_only.py): |v| must stay
+    below ~5e34 (C·x must not overflow) and the third plane flushes for
+    |v| ≲ 1e-30 (its residual ~|v|·2⁻¹⁶ falls under bf16's smallest
+    normal) — sub-ULP loss at ~7e-5 relative. Segment starts are
+    integers and particle coordinates are physical parameters, so the
+    expand kernel never sees either regime."""
+    c1 = v * _VELTKAMP
+    p1 = c1 - (c1 - v)
+    r1 = v - p1
+    c2 = r1 * _VELTKAMP
+    p2 = c2 - (c2 - r1)
+    return p1, p2, r1 - p2
 
 
 def _expand_kernel(*refs, n_cols, t_size):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_streams = _N_PLANES * (1 + n_cols)
-    stream_hbms = refs[:n_streams]  # starts planes, then col-0 planes, …
+    n_streams = 1 + n_cols  # raw f32: starts, then shifted value columns
+    stream_hbms = refs[:n_streams]
     affine_ref = refs[n_streams]  # (2, n_cols) SMEM: per-column scale/shift
     out_refs = refs[n_streams + 1 : n_streams + 1 + n_cols]
-    (cur_j, loaded, inflight, carry, ring) = refs[
-        n_streams + 1 + n_cols : n_streams + 1 + n_cols + 5
+    (cur_j, loaded, inflight, ring) = refs[
+        n_streams + 1 + n_cols : n_streams + 1 + n_cols + 4
     ]
-    # ring: (3 slots, n_streams, ROWS, LANES) bf16
-    sems = refs[n_streams + n_cols + 6]  # DMA sems, shape (3, n_streams)
+    # ring: (3 slots, n_streams, ROWS, LANES) f32
+    sems = refs[n_streams + n_cols + 5]  # DMA sems, shape (3, n_streams)
 
     k = pl.program_id(0)
 
@@ -95,8 +132,6 @@ def _expand_kernel(*refs, n_cols, t_size):
         for s in range(3):
             loaded[s] = -1
             inflight[s] = 0
-        for d in range(n_cols):
-            carry[d] = 0.0
 
     def dma_chunk(c, slot):
         for t in range(n_streams):
@@ -142,42 +177,26 @@ def _expand_kernel(*refs, n_cols, t_size):
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0).astype(
         jnp.float32)  # group/row ids, on sublanes
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0).astype(
-        jnp.float32)  # within-group ids, on sublanes of (L, T) selects
+        jnp.float32)  # within-group ids, on sublanes of the (L, T) one-hot
     n_sub = _SUPER // t_size
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_size), 1).astype(
-        jnp.float32)
-    ones_r = jnp.ones((1, _ROWS), jnp.bfloat16)
-    ones_l = jnp.ones((1, _LANES), jnp.bfloat16)
-    # Corner mask for the boundary carry: the window's LAST particle
-    # (row 127, lane 127).
-    corner = (
-        (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 0) == _ROWS - 1)
-        & (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
-           == _LANES - 1)
-    ).astype(jnp.float32)
+        jnp.float32)  # subtile-relative stratum ids [0, T)
+    ones_r = jnp.ones((1, _ROWS), jnp.float32)
+    ones_l = jnp.ones((1, _LANES), jnp.float32)
+    t_f = jnp.float32(t_size)
+    r_f = jnp.float32(_ROWS)
 
-    def count(cmp_bf16):
+    def count(ones, cmp_f32):
         """#true per stratum: MXU matvec (exact: 0/1 inputs, f32 accum)."""
         return jax.lax.dot_general(
-            ones_r, cmp_bf16, _COUNT_DNUMS,
+            ones, cmp_f32, _COUNT_DNUMS,
             preferred_element_type=jnp.float32,
         )  # (1, T)
 
-    def select3(slot, stream0, oh_bf16):
-        """Exact f32 one-hot row-select via three single-pass bf16 dots:
-        (R, L) · (R, T) → (L, T), each output a one-term masked sum."""
-        acc = None
-        for p in range(_N_PLANES):
-            part = jax.lax.dot_general(
-                ring[slot, stream0 + p], oh_bf16, _SELECT_DNUMS,
-                preferred_element_type=jnp.float32,
-            )
-            acc = part if acc is None else acc + part
-        return acc  # (L, T)
-
     for sub in range(n_sub):
         sub_start = (k * n_sub + sub) * t_size
-        row = sub_start.astype(jnp.float32) + t_iota  # (1, T) stratum ids
+        sub_start_f = sub_start.astype(jnp.float32)
+        row = sub_start_f + t_iota  # (1, T) absolute stratum ids
 
         def cond(c):
             return ~c[1]
@@ -188,77 +207,69 @@ def _expand_kernel(*refs, n_cols, t_size):
             prefetch(c0 + 1)
 
             slot = jax.lax.rem(c0, 3)
-            # Group maxima: lane 127 of each start-plane row, summed back
-            # to exact f32. (R, 1) — no transpose, no side stream.
-            gmax = (
-                ring[slot, 0][:, _LANES - 1 :].astype(jnp.float32)
-                + ring[slot, 1][:, _LANES - 1 :].astype(jnp.float32)
-                + ring[slot, 2][:, _LANES - 1 :].astype(jnp.float32)
-            )
+            s = ring[slot, 0]  # (R, L) raw f32 starts
+            # Group maxima: lane 127 of each row (a static slice).
+            gmax = s[:, _LANES - 1 :]  # (R, 1)
 
             # Level 1: how many groups lie fully at/below each stratum.
-            fg = count((gmax <= row).astype(jnp.bfloat16))  # (1,T) ∈ [0,R]
-            oh_fg = (g_iota == fg).astype(jnp.bfloat16)  # (R, T)
-            # Level 2: rank within the (fg)-th group via MXU row-select.
-            s2 = select3(slot, 0, oh_fg)  # (L, T) — group fg's starts
-            r_lo = count((s2 <= row).astype(jnp.bfloat16))  # (1, T)
-            r = jnp.minimum(_LANES * fg + r_lo, float(_W))  # (1, T)
+            # (All dot operands stay f32 but are bf16-VALUED — Mosaic's
+            # single-pass bf16 operand rounding is then the identity, so
+            # each select/count is exact; the CPU interpret path computes
+            # true f32 and agrees bit-for-bit.)
+            fg = count(ones_r, (gmax <= row).astype(jnp.float32))  # (1,T)
+            oh_fg = (g_iota == fg).astype(jnp.float32)  # (R, T)
 
-            cc = r - 1.0  # covering index in-window; −1 → boundary carry
-            chi = jnp.floor(cc / _LANES)
-            clo = cc - _LANES * chi
-            oh_chi = (g_iota == chi).astype(jnp.bfloat16)  # (R, T)
-            # r == W means the covering particle may lie at/beyond the
-            # window end — defer those strata to the next (advanced) visit;
-            # they resolve there with r ≥ 1, or r == 0 ⇒ covering is the
-            # previous window's LAST particle (the SMEM carry). Strata
-            # already resolved in an earlier visit are masked via `res`.
-            live = (r < float(_W)).astype(jnp.float32) * (1.0 - res)  # (1,T)
-            oh_clo = (l_iota == clo).astype(jnp.float32) * live  # (L, T)
-            carried = (r == 0.0).astype(jnp.float32) * live  # (1, T)
+            # Exact bf16-valued planes of the starts, selected with one
+            # MXU dot: window-relative clamp (order-preserving for every
+            # comparison this subtile makes) then an exact 256-split —
+            # integers in [−256, 4096] need only two planes.
+            sc = jnp.clip(s - sub_start_f, -1.0, t_f)
+            hi = jnp.floor(sc * (1.0 / 256.0)) * 256.0
+            sel_s = jax.lax.dot_general(
+                jnp.concatenate([hi, sc - hi], axis=1), oh_fg,
+                _SELECT_DNUMS, preferred_element_type=jnp.float32,
+            )  # (2L, T): the boundary group's starts planes
+
+            # Level 2: rank within the boundary group (one-term sums in
+            # f32 accum — s2 is exact).
+            s2 = sel_s[:_LANES] + sel_s[_LANES:]
+            r_lo = count(ones_l, (s2 <= t_iota).astype(jnp.float32))
+
+            # fg == R means every resident start ≤ the stratum — the
+            # covering particle may lie at/beyond the window end. Defer
+            # those strata to the next (advanced) visit; they resolve
+            # there with rank ≥ 0, rank 0 picking the shifted stream's
+            # window-first element = the previous chunk's LAST particle.
+            # Strata already resolved in an earlier visit mask via `res`.
+            live = (fg < r_f).astype(jnp.float32) * (1.0 - res)  # (1, T)
+            oh_lane = ((l_iota == r_lo) & (live > 0.0)).astype(
+                jnp.float32)  # (L, T)
 
             new_acc = []
             for d in range(n_cols):
-                s0 = _N_PLANES * (1 + d)
+                sel_v = jax.lax.dot_general(
+                    jnp.concatenate(_split_planes(ring[slot, 1 + d]),
+                                    axis=1),
+                    oh_fg, _SELECT_DNUMS,
+                    preferred_element_type=jnp.float32,
+                )  # (3L, T): the boundary group's value planes
                 picked = None
                 for p in range(_N_PLANES):
-                    v2 = jax.lax.dot_general(
-                        ring[slot, s0 + p], oh_chi, _SELECT_DNUMS,
-                        preferred_element_type=jnp.float32,
-                    )  # (L, T) — group chi's plane-p values (exact bf16)
-                    part = jax.lax.dot_general(
-                        ones_l, (v2 * oh_clo).astype(jnp.bfloat16),
-                        _COUNT_DNUMS, preferred_element_type=jnp.float32,
-                    )  # (1, T) — one-term masked sum: exact
+                    m = sel_v[p * _LANES : (p + 1) * _LANES] * oh_lane
+                    part = count(ones_l, m)  # one-term masked sum: exact
                     picked = part if picked is None else picked + part
-                picked = picked + carry[d] * carried
                 new_acc.append(acc[d] + picked)
 
-            saturated = r[0, t_size - 1] == float(_W)
-
-            @pl.when(saturated)
-            def _advance_carry():
-                # carry ← last particle of the chunk being advanced over.
-                for d in range(n_cols):
-                    s0 = _N_PLANES * (1 + d)
-                    carry[d] = jnp.sum(
-                        (
-                            ring[slot, s0].astype(jnp.float32)
-                            + ring[slot, s0 + 1].astype(jnp.float32)
-                            + ring[slot, s0 + 2].astype(jnp.float32)
-                        )
-                        * corner
-                    )
-
+            fg_last = fg[0, t_size - 1]
+            saturated = fg_last == r_f
             # Next subtile's window: the chunk holding the last covering
-            # particle (clamped ≥ c0 — a carry-resolved last stratum must
-            # not step the window backward, which would invalidate the
-            # carry).
+            # particle (clamped ≥ c0 — a shift-resolved rank-0 last
+            # stratum must not step the window backward).
+            cc_last = r_f * fg_last + r_lo[0, t_size - 1] - 1.0
             cur_j[0] = jnp.where(
                 saturated,
                 (c0 + 1) * _CHUNK,
-                c0 * _CHUNK
-                + jnp.maximum(cc[0, t_size - 1], 0.0).astype(jnp.int32),
+                c0 * _CHUNK + jnp.maximum(cc_last, 0.0).astype(jnp.int32),
             )
             return (
                 c0 + saturated.astype(jnp.int32),
@@ -305,25 +316,20 @@ def _tile_chunks(flat):
     return flat.reshape(n_chunks, _ROWS, _LANES)
 
 
-def _split_planes(x):
-    """Exact 3-way bf16 split: x == p1 + p2 + p3 for every finite normal
-    f32 (each rounding removes ≥ 8 mantissa bits; 3 × 8 significand bits ≥
-    the 24-bit f32 mantissa). Uses ``lax.reduce_precision`` — NOT an
-    astype(bf16) round-trip, which XLA's excess-precision simplifier folds
-    to identity on TPU (measured: x − f32(bf16(x)) compiles to 0).
-
-    Caveat (measured on-chip, tests/test_tpu_only.py): for |x| ≲ 1e-30 the
-    third plane's residual (~|x|·2⁻¹⁶) falls below bf16's smallest normal
-    (≈1.2e-38) and flushes — sub-ULP loss at ~7e-5 relative. Segment
-    starts are integers and particle coordinates are physical parameters,
-    so the expand kernel never sees that regime."""
-    h1 = jax.lax.reduce_precision(x, 8, 7)  # bf16-valued, f32 dtype
-    r1 = x - h1
-    h2 = jax.lax.reduce_precision(r1, 8, 7)
-    r2 = r1 - h2
-    h3 = jax.lax.reduce_precision(r2, 8, 7)
-    return (h1.astype(jnp.bfloat16), h2.astype(jnp.bfloat16),
-            h3.astype(jnp.bfloat16))
+def _subtile_size(n_cols):
+    """Strata per while-loop visit. The visit's big intermediates — the
+    fused select output ((2+3D)·128, T) bf16 and a handful of (128, T)
+    tiles — live on the ~16 MB VMEM stack; wide models shrink the subtile
+    so they fit. Narrow models get a DOUBLE subtile: each visit pays ~1 µs
+    of fixed cost (scalar bookkeeping + dot dispatches), so halving the
+    visit count at D ≤ 2 is a measured ~0.2–0.3 ms win at 1M."""
+    if n_cols <= 2:
+        return 2 * _T
+    if n_cols <= 5:
+        return _T
+    if n_cols <= 9:
+        return _T // 2
+    return _T // 4
 
 
 @functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
@@ -335,27 +341,12 @@ def _expand_cols(starts_padded, cols_padded, n_out, interpret, affine=None):
     if affine is None:
         affine = jnp.stack([jnp.ones((n_cols,), jnp.float32),
                             jnp.zeros((n_cols,), jnp.float32)])
-    n_streams = _N_PLANES * (1 + n_cols)
-    # The (·, t_size) intermediates live on the 16 MB VMEM stack; the ring
-    # grows with the column count — shrink the subtile for very wide
-    # models so both fit. Narrow models get a DOUBLE subtile: the kernel
-    # pays ~1 µs of fixed cost per while-loop visit (scalar bookkeeping +
-    # dot dispatches), so halving the visit count at D ≤ 2 is a measured
-    # ~0.2–0.3 ms win at 1M with VMEM to spare.
-    if n_cols <= 2:
-        t_size = 2 * _T
-    elif n_cols <= 6:
-        t_size = _T
-    elif n_cols <= 12:
-        t_size = _T // 2
-    else:
-        t_size = _T // 4
+    n_streams = 1 + n_cols
+    t_size = _subtile_size(n_cols)
     super_tile = _SUPER
     n_super = _round_up(n_out, super_tile) // super_tile
     out_struct = jax.ShapeDtypeStruct((n_super, 1, super_tile), jnp.float32)
-    streams = []
-    for arr in (starts_padded, *cols_padded):
-        streams.extend(_tile_chunks(p) for p in _split_planes(arr))
+    streams = [_tile_chunks(arr) for arr in (starts_padded, *cols_padded)]
 
     # sequential_vmap: vmapped callers (big-bank ensemble resamples — the
     # auto gate only routes n ≥ 2^17 banks here, so batch sizes are small
@@ -378,8 +369,7 @@ def _expand_cols(starts_padded, cols_padded, n_out, interpret, affine=None):
                 pltpu.SMEM((1,), jnp.int32),   # cur_j
                 pltpu.SMEM((3,), jnp.int32),   # loaded chunk id per slot
                 pltpu.SMEM((3,), jnp.int32),   # inflight flag per slot
-                pltpu.SMEM((max(n_cols, 1),), jnp.float32),  # boundary carry
-                pltpu.VMEM((3, n_streams, _ROWS, _LANES), jnp.bfloat16),
+                pltpu.VMEM((3, n_streams, _ROWS, _LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA((3, n_streams)),
             ],
             interpret=interpret,
@@ -418,12 +408,19 @@ def expand_sorted_segments(starts, values, n_out=None, interpret=None,
     starts_p = jnp.concatenate(
         [starts, jnp.full((pad,), _SENTINEL, jnp.float32)]
     )
-    zeros = jnp.zeros((pad,), jnp.float32)
+    # Value streams are SHIFTED one element right (shifted[j] =
+    # values[j−1]): a stratum of global rank r picks shifted[r], so the
+    # in-kernel rank one-hots index values directly and an in-window
+    # rank of 0 lands on the previous chunk's last particle for free.
+    # (Global rank 0 cannot occur — starts[0] == 0 ≤ every stratum — so
+    # shifted[0] is never read; global rank n_in CAN occur and reads
+    # shifted[n_in] = values[n_in−1], hence the prepend-by-one layout.)
+    zeros = jnp.zeros((pad - 1,), jnp.float32)
     if values.ndim == 1:
-        cols = (jnp.concatenate([values, zeros]),)
+        cols = (jnp.concatenate([values[:1], values, zeros]),)
     else:
         cols = tuple(
-            jnp.concatenate([values[:, d], zeros])
+            jnp.concatenate([values[:1, d], values[:, d], zeros])
             for d in range(values.shape[1])
         )
     affine = None

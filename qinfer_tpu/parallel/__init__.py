@@ -22,7 +22,10 @@ from .sharded_smc import (
     distributed_systematic_pick,
     distributed_systematic_pick_ring,
     global_logsumexp,
+    make_sharded_adaptive_episode,
     make_sharded_expdesign,
+    make_sharded_greedy_propose,
+    make_sharded_pgh_propose,
     make_sharded_update_step,
     sharded_ess,
     sharded_moments,
@@ -45,5 +48,8 @@ __all__ = [
     "distributed_systematic_pick_ring",
     "make_sharded_update_step",
     "make_sharded_expdesign",
+    "make_sharded_greedy_propose",
+    "make_sharded_pgh_propose",
+    "make_sharded_adaptive_episode",
     "sharded_sample",
 ]

@@ -39,6 +39,9 @@ __all__ = [
     "distributed_systematic_pick_ring",
     "make_sharded_update_step",
     "make_sharded_expdesign",
+    "make_sharded_greedy_propose",
+    "make_sharded_pgh_propose",
+    "make_sharded_adaptive_episode",
     "sharded_sample",
 ]
 
@@ -546,6 +549,143 @@ def make_sharded_expdesign(mesh, model):
         )
 
     return risk, eig
+
+
+def make_sharded_greedy_propose(mesh, model, candidates, use_eig=True,
+                                Q=None):
+    """Greedy EIG/risk candidate selection against a mesh-sharded bank.
+
+    Sharded analogue of ``heuristics._UtilityGreedyCore``: scores every
+    candidate with the psum-merged streaming statistics of
+    ``make_sharded_expdesign`` and argmaxes, breaking EXACT score ties
+    uniformly at random from the step key (same semantics as the
+    single-device core). Reference: ``src/qinfer/smc.py —
+    SMCUpdater.bayes_risk / expected_information_gain`` driving
+    ``expdesign.py — ExperimentDesigner`` (SURVEY §3.3) under §5.8's
+    sharding obligation.
+
+    Returns ``propose(key, state) -> expparams`` (a (1, …) pytree),
+    jittable and scannable.
+    """
+    risk_fn, eig_fn = make_sharded_expdesign(mesh, model)
+    cand = {k: jnp.asarray(v) for k, v in candidates.items()}
+
+    def propose(key, state):
+        if use_eig:
+            score = eig_fn(state, cand)
+        else:
+            score = -risk_fn(state, cand, Q)
+        tied = score >= jnp.max(score)
+        jitter = jax.random.uniform(key, score.shape)
+        best = jnp.argmax(jnp.where(tied, jitter, -1.0))
+        return jax.tree_util.tree_map(lambda a: a[best][None], cand)
+
+    return propose
+
+
+def make_sharded_pgh_propose(mesh, t_field="t", inv_field=None,
+                             t_func=None, inv_func=None, other_fields=None,
+                             eps_dist=1e-12):
+    """Particle-guess heuristic against a mesh-sharded bank: the two
+    posterior draws route through ``sharded_sample`` (Gumbel-max over
+    shards — no bank gather), then t = t_func(1/‖x₁−x₂‖).
+
+    Sharded analogue of ``heuristics._PGHCore`` (reference:
+    ``heuristics.py — PGH.__call__``). Exact-collision handling is the
+    epsilon floor on the distance (the single-device core's bounded
+    redraw is a refinement for post-clamp duplicate clouds; under
+    sharding the two Gumbel draws use independent keys, so a collision
+    additionally requires the same particle to win both — the floor
+    suffices).
+
+    Returns ``propose(key, state) -> expparams``, jittable and scannable.
+    """
+    axis = PARTICLE_AXIS
+    t_func = t_func if t_func is not None else (lambda x: x)
+    inv_func = inv_func if inv_func is not None else (lambda x: x)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def draw2(key, log_w, locs):
+        return sharded_sample(key, log_w, locs, 2, axis)
+
+    def propose(key, state):
+        x = draw2(key, state.particle_log_weights,
+                  state.particle_locations)
+        x1, x2 = x[0], x[1]
+        dist = jnp.linalg.norm(x1 - x2)
+        t = t_func(1.0 / jnp.maximum(dist, eps_dist))
+        ep = {t_field: jnp.asarray(t, jnp.float32)[None]}
+        if inv_field is not None:
+            ep[inv_field] = inv_func(x1)[None]
+        if other_fields:
+            for name, val in dict(other_fields).items():
+                ep[name] = jnp.asarray(val, jnp.float32)[None]
+        return ep
+
+    return propose
+
+
+def make_sharded_adaptive_episode(mesh, model, resampler, config: SMCConfig,
+                                  propose, true_modelparams, n_exp,
+                                  migration="auto"):
+    """BASELINE config 5's full adaptive loop — design → simulate →
+    update — as ONE jitted ``lax.scan`` over a mesh-sharded bank.
+
+    Every stage is sharded: ``propose`` (from
+    ``make_sharded_greedy_propose`` / ``make_sharded_pgh_propose``)
+    scores/samples with explicit collectives, the outcome is simulated
+    from the replicated true model at the chosen experiment, and
+    ``make_sharded_update_step`` advances the sharded posterior
+    (distributed systematic resampling included). Reference:
+    ``src/qinfer/smc.py — SMCUpdater.update`` driven by
+    ``expdesign/heuristics`` per SURVEY §3.3, under §5.8's sharding
+    obligation.
+
+    Returns ``episode(state, key) -> (state, records)`` where ``records``
+    is a dict of per-step arrays: ``log_norm`` (n_exp,), ``est_mean``
+    (n_exp, D), and the chosen ``expparams`` pytree stacked along the
+    leading axis.
+    """
+    axis = PARTICLE_AXIS
+    step = make_sharded_update_step(mesh, model, resampler, config,
+                                    migration=migration)
+    true_mp = jnp.atleast_2d(jnp.asarray(true_modelparams, jnp.float32))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def est_mean(log_w, locs):
+        return sharded_moments(log_w, locs, axis)[0]
+
+    def body(carry, _):
+        state, key = carry
+        k_prop, k_sim, key = jax.random.split(key, 3)
+        ep = propose(k_prop, state)
+        outcome = model.simulate_experiment(k_sim, true_mp, ep)[0, 0, 0]
+        state, log_norm = step(state, outcome, ep)
+        mu = est_mean(state.particle_log_weights,
+                      state.particle_locations)
+        return (state, key), {"log_norm": log_norm, "est_mean": mu,
+                              "expparams": ep}
+
+    @jax.jit
+    def episode(state, key):
+        (state, _), records = jax.lax.scan(
+            body, (state, key), None, length=int(n_exp)
+        )
+        return state, records
+
+    return episode
 
 
 def sharded_sample(key, log_w_shard, locs_shard, n, axis_name):

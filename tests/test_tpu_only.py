@@ -84,9 +84,10 @@ def test_expand_kernel_on_chip_exact(n, d):
 
 def test_bf16_plane_split_exact_on_chip():
     """x == p1 + p2 + p3 bit-exactly — the invariant every MXU select in
-    the expand kernel relies on. XLA's excess-precision simplifier would
-    silently break an astype-based split; reduce_precision must survive
-    compilation (this asserts the compiled result, not the tracer)."""
+    the expand kernel relies on. The Veltkamp split is three dependent
+    f32 mul/subs; the compiler must NOT algebraically fold
+    C·x − (C·x − x) back to x (this asserts the compiled result, not the
+    tracer)."""
     from qinfer_tpu.ops.resample_expand import _split_planes
 
     k = jax.random.PRNGKey(3)
