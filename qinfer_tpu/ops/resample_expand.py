@@ -212,6 +212,10 @@ def _expand_kernel(*refs, n_cols, t_size):
             gmax = s[:, _LANES - 1 :]  # (R, 1)
 
             # Level 1: how many groups lie fully at/below each stratum.
+            # The count dot's output dim is 1 (padded to a sublane tile,
+            # NOT to 128), so it costs ~1/16 of a select dot — a
+            # two-compare prefix one-hot was tried and saved nothing
+            # while Mosaic rejected its (R, 1) shifted concat.
             # (All dot operands stay f32 but are bf16-VALUED — Mosaic's
             # single-pass bf16 operand rounding is then the identity, so
             # each select/count is exact; the CPU interpret path computes
@@ -317,19 +321,17 @@ def _tile_chunks(flat):
 
 
 def _subtile_size(n_cols):
-    """Strata per while-loop visit. The visit's big intermediates — the
-    fused select output ((2+3D)·128, T) bf16 and a handful of (128, T)
-    tiles — live on the ~16 MB VMEM stack; wide models shrink the subtile
-    so they fit. Narrow models get a DOUBLE subtile: each visit pays ~1 µs
-    of fixed cost (scalar bookkeeping + dot dispatches), so halving the
-    visit count at D ≤ 2 is a measured ~0.2–0.3 ms win at 1M."""
-    if n_cols <= 2:
-        return 2 * _T
+    """Strata per while-loop visit, from an on-chip sweep at 2^20
+    (bench_expand_phases.py, BENCH_EXPAND_GEOM): per-visit fixed cost is
+    tiny (~0.2 µs — T=1024 vs T=2048 differ by only ~6% at D=1), so the
+    choice balances VMEM pressure against visit count. Measured: D=1 —
+    1.73/1.62/1.66 ms at T=1024/2048/4096; D=4 — 4.09/4.47 at 2048/4096;
+    D=16 — 17.6/15.5/16.6 at 512/1024/2048. The per-column select
+    buffers are sequential (one column in flight), so T=1024 fits any
+    width."""
     if n_cols <= 5:
         return _T
-    if n_cols <= 9:
-        return _T // 2
-    return _T // 4
+    return _T // 2
 
 
 @functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
