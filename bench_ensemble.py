@@ -31,14 +31,12 @@ def run_regime(name, n_trials, n_particles, n_exp, seed=7):
 
     model = qi.SimplePrecessionModel()
     prior = qi.UniformDistribution([0.0, 1.0])
-    perf = qi.perf_test_multiple(
+    perf, total = qi.perf_test_multiple(
         n_trials, model, n_particles, prior, n_exp,
         lambda u: qi.PGH(u),
         seed=seed, return_time=True,
     )
-    # elapsed_time excludes the AOT compile (perf_testing.py) but the
-    # relay can early-ack; re-force a host transfer before trusting it.
-    total = float(np.asarray(perf["elapsed_time"]).sum())
+    total = float(total)  # device wall time, AOT compile excluded
     loss = float(np.median(np.asarray(perf["loss"])[:, -1]))
     pps = n_trials * n_particles * n_exp / total
     print(json.dumps({

@@ -312,17 +312,29 @@ def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
             return out, total
         return out
 
-    # AOT-compile outside the timed block so elapsed_time measures device
-    # execution, not the one-time XLA compile (which would dominate small
-    # runs — the reference's per-update timing never includes compilation).
+    # Warm the jit cache outside the timed block so elapsed_time measures
+    # device execution, not one-time costs. Three traps, all measured at
+    # 256×2048×100 on the TPU relay:
+    # (1) ``.lower().compile()`` does NOT install the executable into the
+    #     jit cache — the timed call would silently recompile;
+    # (2) ``block_until_ready`` is early-acked by the relay, so a warmup
+    #     without a HOST FETCH leaves the program's expensive first
+    #     execution (~110–470 s of worker-side load/warmup for a long
+    #     episode scan; ~1 s thereafter) to land inside the timed block;
+    # (3) the relay caches identical executions, so the warmup must use
+    #     DISTINCT keys or the timed call is served from cache.
+    warm_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
     episode_args = (
         model, heuristic_core, resampler, config, prior,
-        true_model, true_prior, int(n_particles), int(n_exp), keys,
+        true_model, true_prior, int(n_particles), int(n_exp),
     )
-    run_episodes.lower(*episode_args).compile()
+    for leaf in jax.tree_util.tree_leaves(
+        run_episodes(*episode_args, warm_keys)[0]
+    ):
+        np.asarray(leaf)  # real host fetch — forces true execution
 
     with timing() as t:
-        recs, _states = run_episodes(*episode_args)
+        recs, _states = run_episodes(*episode_args, keys)
         recs = jax.tree_util.tree_map(
             lambda a: np.asarray(jax.block_until_ready(a)), recs
         )
