@@ -256,9 +256,9 @@ class LiuWestResampler(Resampler):
     postselect: bool = True
     kernel: Optional[Callable] = None
     use_systematic: bool = True
-    # Pallas expand kernel for the index-draw+pick: 2× the XLA blocked
-    # pick at 1M particles (14.4→7.2 ms measured, and ~D× better for
-    # multi-parameter models since all columns share one rank pass).
+    # Pallas expand kernel for the index-draw+pick: ~9× the XLA blocked
+    # pick at 1M particles (14.4 → 1.6 ms measured, kernel v4 r5; all
+    # columns share one rank pass, so multi-parameter models amortize).
     # None = auto: on for single-device TPU at n ∈ [2^17, 2^24) (the
     # one-time ~30 s Mosaic compile only pays off for big-N runs; under
     # GSPMD sharding the shard_map path has its own distributed pick).
