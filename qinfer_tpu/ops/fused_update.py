@@ -58,21 +58,26 @@ def _update_kernel(scal_ref, lw_ref, *rest, tile_fn, n_cols, num_tiles):
     lw = lw_ref[...] + jnp.maximum(log_l, -87.0)
     out_lw_ref[...] = lw
 
+    # The kernel is TRANSCENDENTAL-bound (measured r5: ~68 µs at 2^20,
+    # linear in N, tile-size-independent — cos/log/exp per element, not
+    # HBM or per-tile overhead), so the second streaming-lse pass reuses
+    # the first's exponentials: max(2·lw) = 2·max(lw) (one max reduce,
+    # not two) and Σ exp(2lw − m₂) = Σ (e₁²) · exp(2m − m₂) with
+    # e₁ = exp(lw − m) (one elementwise exp + one multiply, the
+    # correction factor is a scalar). Squaring doubles e₁'s relative
+    # rounding (~2⁻²³) — far inside the kernel-vs-XLA test tolerance.
     tile_m = jnp.max(lw)
     m_old = acc_ref[0]
     m_new = jnp.maximum(m_old, tile_m)
-    acc_ref[1] = acc_ref[1] * jnp.exp(m_old - m_new) + jnp.sum(
-        jnp.exp(lw - m_new)
-    )
+    e1 = jnp.exp(lw - m_new)
+    acc_ref[1] = acc_ref[1] * jnp.exp(m_old - m_new) + jnp.sum(e1)
     acc_ref[0] = m_new
 
-    lw2 = 2.0 * lw
-    tile_m2 = jnp.max(lw2)
     m2_old = acc_ref[2]
-    m2_new = jnp.maximum(m2_old, tile_m2)
+    m2_new = jnp.maximum(m2_old, 2.0 * tile_m)
     acc_ref[3] = acc_ref[3] * jnp.exp(m2_old - m2_new) + jnp.sum(
-        jnp.exp(lw2 - m2_new)
-    )
+        e1 * e1
+    ) * jnp.exp(2.0 * m_new - m2_new)
     acc_ref[2] = m2_new
 
     @pl.when(i == num_tiles - 1)
@@ -89,7 +94,7 @@ def _update_kernel(scal_ref, lw_ref, *rest, tile_fn, n_cols, num_tiles):
 _VMAP_KERNEL_MIN_N = 1 << 17
 
 
-def fused_bayes_update(tile_fn, scalars, log_w, param_cols, tile=65536,
+def fused_bayes_update(tile_fn, scalars, log_w, param_cols, tile=None,
                        interpret=None, return_stats=False):
     """One fused SMC update.
 
@@ -121,14 +126,22 @@ def fused_bayes_update(tile_fn, scalars, log_w, param_cols, tile=65536,
     from jax.experimental.pallas import tpu as pltpu
 
     n = log_w.shape[0]
+    n_cols = len(param_cols)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if tile is None:
+        # Measured on-chip sweep (r5, 2^20 D=1, post exp-fold): 59.8 µs
+        # at 64 K, 45.8 at 512 K, 57.0 at a single 1 M tile — mid-size
+        # tiles pipeline DMA against the transcendental-bound compute
+        # best. Scale down with column count so (streams + output) ×
+        # double-buffering stays inside VMEM.
+        tile = (3 * 524288) // (n_cols + 2)
+        tile = max(65536, min(524288, (tile // 8192) * 8192))
     tile = min(tile, max(1024, ((n + 1023) // 1024) * 1024))
     # Pad to a tile multiple with −huge weights: exp(pad − m) = 0, so the
     # streaming reductions and the normalized output are unaffected.
     n_pad = ((n + tile - 1) // tile) * tile
     num_tiles = n_pad // tile
-    n_cols = len(param_cols)
 
     def _impl(scalars, log_w, *param_cols):
         if n_pad != n:
