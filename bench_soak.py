@@ -20,9 +20,9 @@ def main():
     model = qi.SimplePrecessionModel()
     prior = qi.UniformDistribution([0.0, 1.0])
     t0 = time.perf_counter()
-    perf = qi.perf_test_multiple(
+    perf, device_s = qi.perf_test_multiple(
         n_trials=n_trials, model=model, n_particles=2048, prior=prior,
-        n_exp=200, heuristic_class=qi.PGH, seed=7,
+        n_exp=200, heuristic_class=qi.PGH, seed=7, return_time=True,
     )
     loss = np.asarray(perf["loss"])
     elapsed = time.perf_counter() - t0
@@ -30,6 +30,8 @@ def main():
         "op": "soak_1024x2048x200",
         "n_trials": n_trials,
         "wall_s": round(elapsed, 1),
+        "device_s": round(float(device_s), 2),
+        "device_pps": round(n_trials * 2048 * 200 / float(device_s)),
         "median_loss_first": float(np.median(loss[:, 0])),
         "median_loss_last": float(np.median(loss[:, -1])),
         "chains_converged_pct": round(
