@@ -39,6 +39,7 @@ __all__ = [
     "systematic_resample_indices",
     "systematic_pick_blocked",
     "multinomial_resample_indices",
+    "fast_normal",
 ]
 
 

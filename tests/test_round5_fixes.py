@@ -246,3 +246,28 @@ def test_sharded_pgh_episode_converges():
     errs = np.abs(np.asarray(rec["est_mean"])[:, 0] - 0.81)
     assert errs[-1] < 0.02, errs[-5:]
     assert errs[-1] < errs[0] / 5
+
+
+def test_fast_normal_moments_and_determinism():
+    """The rbg-backed smear noise is standard normal (moments), and the
+    threefry-key → rbg-key mapping is deterministic per key and usable
+    under vmap (the ensemble harness resamples inside vmapped trials)."""
+    from qinfer_tpu.resamplers import fast_normal
+
+    k = jax.random.PRNGKey(3)
+    x = np.asarray(fast_normal(k, (1 << 16,)))
+    assert abs(x.mean()) < 0.02
+    assert abs(x.std() - 1.0) < 0.02
+    np.testing.assert_array_equal(
+        x, np.asarray(fast_normal(jax.random.PRNGKey(3), (1 << 16,)))
+    )
+    assert not np.array_equal(
+        x, np.asarray(fast_normal(jax.random.PRNGKey(4), (1 << 16,)))
+    )
+    xb = np.asarray(
+        jax.vmap(lambda kk: fast_normal(kk, (256,)))(
+            jax.random.split(k, 8)
+        )
+    )
+    assert xb.shape == (8, 256)
+    assert len({tuple(r) for r in xb.round(6)}) == 8  # distinct per key
