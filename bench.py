@@ -87,7 +87,7 @@ def _experiment_record(n_exp, seed):
     return ts, outcomes
 
 
-def _run_windows(n_particles, n_exp, k_windows, repeats=2):
+def _run_windows(n_particles, n_exp, k_windows, repeats=3):
     """Best-of-repeats wall time of ONE jitted program running k_windows
     independent n_exp windows back-to-back (outer lax.scan, carry-chained
     checksum — the relay caches repeated identical executions and can ack
@@ -233,7 +233,7 @@ def _phase_costs(n_particles):
                                     n_particles, prior))
             float(jnp.sum(st.particle_log_weights))
             best = float("inf")
-            for rep in range(2):
+            for rep in range(3):
                 st0 = init_smc_state(jax.random.PRNGKey(rep + 1), model,
                                      n_particles, prior)
                 jax.block_until_ready(st0.particle_locations)

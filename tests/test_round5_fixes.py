@@ -271,3 +271,40 @@ def test_fast_normal_moments_and_determinism():
     )
     assert xb.shape == (8, 256)
     assert len({tuple(r) for r in xb.round(6)}) == 8  # distinct per key
+
+
+def test_sharded_adaptive_episode_binomial_model():
+    """The scanned sharded episode also drives a BinomialModel (vector
+    expparams carrying n_meas; data-dependent outcome counts — the
+    regression-prone design corner) end-to-end on the mesh."""
+    from qinfer_tpu.parallel import (
+        make_particle_mesh,
+        make_sharded_adaptive_episode,
+        make_sharded_greedy_propose,
+        shard_state,
+    )
+    from qinfer_tpu.smc import SMCConfig, init_smc_state
+
+    inner = qi.SimplePrecessionModel()
+    model = qi.BinomialModel(inner)
+    prior = qi.UniformDistribution([0.0, 1.0])
+    n = 128 * N_DEV
+    state0 = init_smc_state(jax.random.PRNGKey(11), model, n, prior)
+    cand = {
+        "t": jnp.asarray((9 / 8) ** np.arange(16), jnp.float32),
+        "n_meas": jnp.full((16,), 20.0, jnp.float32),
+    }
+    resampler = qi.LiuWestResampler()
+    config = SMCConfig(zero_weight_policy="reset")
+    true_mp = jnp.asarray([[0.55]], jnp.float32)
+
+    mesh = make_particle_mesh(N_DEV)
+    propose = make_sharded_greedy_propose(mesh, model, cand)
+    episode = make_sharded_adaptive_episode(
+        mesh, model, resampler, config, propose, true_mp, 25
+    )
+    st, rec = episode(shard_state(state0, mesh), jax.random.PRNGKey(12))
+    errs = np.abs(np.asarray(rec["est_mean"])[:, 0] - 0.55)
+    assert np.isfinite(np.asarray(rec["log_norm"])).all()
+    assert errs[-1] < 0.01, errs[-5:]
+    assert errs[-1] < errs[0] / 5
