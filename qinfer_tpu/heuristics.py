@@ -25,6 +25,19 @@ __all__ = ["Heuristic", "ExpSparseHeuristic", "PGH", "EIGHeuristic",
 _identity = lambda x: x
 
 
+def keyed_tiebreak_argmax(key, score):
+    """argmax(score) with EXACT ties broken uniformly at random from
+    ``key`` — never by candidate order, which would bias a whole episode
+    toward the first candidate. Non-tied scores are untouched: the
+    jitter only ranks within the argmax tie set. Shared by the
+    single-device greedy core and the sharded propose (reference parity:
+    ``expdesign.py — ExperimentDesigner.design_expparams_field`` perturbs
+    candidate guesses)."""
+    tied = score >= jnp.max(score)
+    jitter = jax.random.uniform(key, score.shape)
+    return jnp.argmax(jnp.where(tied, jitter, -1.0))
+
+
 class Heuristic:
     """ABC holding an updater. Reference: ``heuristics.py — Heuristic``."""
 
@@ -212,16 +225,7 @@ class _UtilityGreedyCore:
             score = expected_information_gain_fn(self.model, state, cand)
         else:
             score = -bayes_risk_fn(self.model, state, cand, self.model.Q)
-        # EXACT score ties (symmetric candidate sets under a symmetric
-        # posterior are common) are broken uniformly at random from the
-        # step key — never by candidate order, which would bias a whole
-        # episode toward the first candidate. Non-tied scores are
-        # untouched: the jitter only ranks within the argmax tie set.
-        # Reference parity: ``expdesign.py — ExperimentDesigner.
-        # design_expparams_field`` perturbs candidate guesses.
-        tied = score >= jnp.max(score)
-        jitter = jax.random.uniform(key, score.shape)
-        best = jnp.argmax(jnp.where(tied, jitter, -1.0))
+        best = keyed_tiebreak_argmax(key, score)
         return jax.tree_util.tree_map(lambda a: a[best][None], cand)
 
 

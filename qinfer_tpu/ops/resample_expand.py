@@ -52,10 +52,11 @@ This kernel exploits the sortedness and streams the bank once:
 
 No gathers, no scatters, no sort. Total traffic is O(n·(D+1)) f32 reads +
 O(n·D) writes. Indices are carried in f32 (exact for n ≤ 2^24; the
-wrapper asserts this). Value magnitudes must stay below ~5e34 (the
-Veltkamp multiply must not overflow) and above ~1e-30 (the third plane's
-residual falls below bf16's smallest normal and flushes — sub-ULP loss);
-particle coordinates are physical parameters, far inside both bounds.
+wrapper asserts this). Value magnitudes must stay below ~5.2e33 (the
+Veltkamp multiply must not overflow — NaN planes beyond) and above
+~1e-30 (the third plane's residual falls below bf16's smallest normal
+and flushes — sub-ULP loss); particle coordinates are physical
+parameters, far inside both bounds.
 
 Reference parity: replaces the index-draw + ``locs[idx]`` hot loop of
 ``src/qinfer/resamplers.py — LiuWestResampler.__call__``.
@@ -97,11 +98,12 @@ def _split_planes(v):
     three planes cover f32's 24-bit significand exactly.
 
     Caveats (measured on-chip, tests/test_tpu_only.py): |v| must stay
-    below ~5e34 (C·x must not overflow) and the third plane flushes for
-    |v| ≲ 1e-30 (its residual ~|v|·2⁻¹⁶ falls under bf16's smallest
-    normal) — sub-ULP loss at ~7e-5 relative. Segment starts are
-    integers and particle coordinates are physical parameters, so the
-    expand kernel never sees either regime."""
+    below ~5.2e33 = f32_max/(2¹⁶+1) — beyond it C·x overflows and every
+    plane is NaN (verified: _split_planes(5.3e33) → nan) — and the third
+    plane flushes for |v| ≲ 1e-30 (its residual ~|v|·2⁻¹⁶ falls under
+    bf16's smallest normal), a sub-ULP loss at ~7e-5 relative. Segment
+    starts are integers and particle coordinates are physical
+    parameters, so the expand kernel never sees either regime."""
     c1 = v * _VELTKAMP
     p1 = c1 - (c1 - v)
     r1 = v - p1

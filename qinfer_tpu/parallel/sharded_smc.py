@@ -572,6 +572,8 @@ def make_sharded_greedy_propose(mesh, model, candidates, use_eig=True,
     Returns ``propose(key, state) -> expparams`` (a (1, …) pytree),
     jittable and scannable.
     """
+    from ..heuristics import keyed_tiebreak_argmax
+
     risk_fn, eig_fn = make_sharded_expdesign(mesh, model)
     cand = {k: jnp.asarray(v) for k, v in candidates.items()}
 
@@ -580,9 +582,7 @@ def make_sharded_greedy_propose(mesh, model, candidates, use_eig=True,
             score = eig_fn(state, cand)
         else:
             score = -risk_fn(state, cand, Q)
-        tied = score >= jnp.max(score)
-        jitter = jax.random.uniform(key, score.shape)
-        best = jnp.argmax(jnp.where(tied, jitter, -1.0))
+        best = keyed_tiebreak_argmax(key, score)
         return jax.tree_util.tree_map(lambda a: a[best][None], cand)
 
     return propose
@@ -673,20 +673,26 @@ def make_sharded_adaptive_episode(mesh, model, resampler, config: SMCConfig,
         return sharded_moments(log_w, locs, axis)[0]
 
     def body(carry, _):
-        state, key = carry
-        k_prop, k_sim, key = jax.random.split(key, 3)
+        state, true_mp, key = carry
+        k_prop, k_sim, k_ts, key = jax.random.split(key, 4)
         ep = propose(k_prop, state)
         outcome = model.simulate_experiment(k_sim, true_mp, ep)[0, 0, 0]
         state, log_norm = step(state, outcome, ep)
-        mu = est_mean(state.particle_log_weights,
-                      state.particle_locations)
-        return (state, key), {"log_norm": log_norm, "est_mean": mu,
-                              "expparams": ep}
+        rec = {"log_norm": log_norm,
+               "est_mean": est_mean(state.particle_log_weights,
+                                    state.particle_locations),
+               "expparams": ep, "true": true_mp[0]}
+        # Advance the TRUE system alongside the posterior — for
+        # time-dependent models the truth drifts between measurements
+        # (identity for static models). Mirrors the single-device
+        # episode loop (perf_testing._episode_step_factory).
+        true_mp = model.update_timestep(true_mp, ep, key=k_ts)[:, :, 0]
+        return (state, true_mp, key), rec
 
     @jax.jit
     def episode(state, key):
-        (state, _), records = jax.lax.scan(
-            body, (state, key), None, length=int(n_exp)
+        (state, _, _), records = jax.lax.scan(
+            body, (state, true_mp, key), None, length=int(n_exp)
         )
         return state, records
 

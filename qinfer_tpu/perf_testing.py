@@ -312,29 +312,50 @@ def perf_test_multiple(n_trials, model, n_particles, prior, n_exp,
             return out, total
         return out
 
-    # Warm the jit cache outside the timed block so elapsed_time measures
-    # device execution, not one-time costs. Three traps, all measured at
+    # Compile outside the timed block so elapsed_time measures device
+    # execution, not one-time costs. Three traps, all measured at
     # 256×2048×100 on the TPU relay:
     # (1) ``.lower().compile()`` does NOT install the executable into the
-    #     jit cache — the timed call would silently recompile;
-    # (2) ``block_until_ready`` is early-acked by the relay, so a warmup
-    #     without a HOST FETCH leaves the program's expensive first
-    #     execution (~110–470 s of worker-side load/warmup for a long
-    #     episode scan; ~1 s thereafter) to land inside the timed block;
+    #     jit cache, so a jit-routed timed call would silently recompile
+    #     — the timed block therefore calls the COMPILED object directly;
+    # (2) on relay-like backends ``block_until_ready`` is early-acked and
+    #     a program's expensive first execution (~110–470 s of
+    #     worker-side load for a long episode scan; ~1 s thereafter) is
+    #     deferred to the first host FETCH — pay it outside the timed
+    #     block with a full fetched warmup run. Direct cpu/tpu backends
+    #     skip this (it would double every caller's device time for
+    #     nothing — AOT compilation is the only one-time cost there);
     # (3) the relay caches identical executions, so the warmup must use
     #     DISTINCT keys or the timed call is served from cache.
-    warm_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
     episode_args = (
         model, heuristic_core, resampler, config, prior,
         true_model, true_prior, int(n_particles), int(n_exp),
     )
-    for leaf in jax.tree_util.tree_leaves(
-        run_episodes(*episode_args, warm_keys)[0]
-    ):
-        np.asarray(leaf)  # real host fetch — forces true execution
+    if jax.default_backend() in ("cpu", "tpu", "gpu", "cuda", "rocm"):
+        # Direct backend: AOT-compile and time the compiled executable —
+        # no warmup execution needed (compilation is the only one-time
+        # cost; an executed warmup would double every caller's device
+        # time for nothing).
+        compiled = run_episodes.lower(*episode_args, keys).compile()
+        run = lambda ks: compiled(*episode_args[:7], ks)
+    else:
+        # Relay-like backend: a fetched REAL warmup run on DISTINCT keys
+        # is mandatory (measured 256×2048×100: the timed run is 1.25 s
+        # after it, 57–475 s without) — the relay early-acks
+        # block_until_ready, defers a program's expensive first
+        # execution to its first host fetch, caches identical
+        # executions, and does not give AOT-compiled calls the warmed
+        # jit-route path (re-measured: an AOT timed call pays the
+        # penalty even after a fetched AOT warmup).
+        warm_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
+        for leaf in jax.tree_util.tree_leaves(
+            run_episodes(*episode_args, warm_keys)[0]
+        ):
+            np.asarray(leaf)  # real host fetch — forces true execution
+        run = lambda ks: run_episodes(*episode_args, ks)
 
     with timing() as t:
-        recs, _states = run_episodes(*episode_args, keys)
+        recs, _states = run(keys)
         recs = jax.tree_util.tree_map(
             lambda a: np.asarray(jax.block_until_ready(a)), recs
         )

@@ -1042,6 +1042,12 @@ class SMCUpdaterBCRB(SMCUpdater):
         def _fisher(mps, eps, outcomes):
             L = self.model.likelihood(outcomes, mps, eps)
             sc = DifferentiableModel.score(self.model, outcomes, mps, eps)
+            # A particle sitting exactly on a likelihood zero (e.g.
+            # cos² = 0 at ωt = π) makes the score 0/0 = NaN while its
+            # Fisher CONTRIBUTION L·sc·sc has a finite L→0 limit — zero
+            # the score there (the contribution is O(L) and the event is
+            # measure-zero over the posterior).
+            sc = jnp.where(L[None, ...] > 1e-10, sc, 0.0)
             return jnp.einsum("one,ione,jone->ijne", L, sc, sc)
 
         self._fisher = _fisher

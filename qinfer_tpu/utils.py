@@ -69,10 +69,19 @@ def log_binomial_pdf(n, k, p):
     n = jnp.asarray(n, jnp.float32)
     k = jnp.asarray(k, jnp.float32)
     p = jnp.asarray(p, jnp.float32)
+    # Autodiff safety: xlogy's JVP is x/y·ẏ + log(y)·ẋ — 0/0 = NaN at
+    # (k=0, p=0) even though the VALUE is the correct 0 (same for
+    # xlog1py at k=n, p=1). When the prefactor is zero the term is
+    # identically 0 with zero derivative, so substitute a harmless
+    # operand there: forward values are bit-identical, gradients become
+    # finite at the probability boundaries (BCRB/Fisher run jacfwd
+    # through this — smc.SMCUpdaterBCRB).
+    p_k = jnp.where(k == 0.0, 1.0, p)
+    mp_nk = jnp.where(n - k == 0.0, 0.0, -p)
     return (
         log_binomial_coefficient(n, k)
-        + xlogy(k, p)
-        + xlog1py(n - k, -p)
+        + xlogy(k, p_k)
+        + xlog1py(n - k, mp_nk)
     )
 
 

@@ -64,14 +64,17 @@ def test_perf_test_per_update_timing():
     model = qi.SimplePrecessionModel()
     prior = qi.UniformDistribution([0.0, 1.0])
     perf = qi.perf_test(
-        model, 512, prior, 10, qi.PGH, seed=4, timing_mode="per_update"
+        model, 512, prior, 20, qi.PGH, seed=4, timing_mode="per_update"
     )
-    assert perf.shape == (10,)
+    assert perf.shape == (20,)
     assert (perf["elapsed_time"] > 0).all()
     # Per-update times are individually measured, not a uniform average.
     assert len(np.unique(perf["elapsed_time"])) > 1
-    assert perf["loss"][-1] < perf["loss"][0] * 5  # learning, loosely
-    assert perf["est"].shape == (10, 1)
+    # Learning, loosely: late-window median loss below 5x the early one
+    # (single-trial 512-particle runs are noisy; medians, not endpoints).
+    assert (np.median(perf["loss"][-5:])
+            < max(np.median(perf["loss"][:5]), 1e-4) * 5)
+    assert perf["est"].shape == (20, 1)
 
 
 class _RecordingBar:
